@@ -1,0 +1,100 @@
+"""Benchmark: front-end LIO odometry throughput (scans/sec/chip).
+
+Runs the full jitted scan tick (IMU propagation + undistortion +
+downsample + iterated ESIKF point-to-plane update + map insert) on
+synthetic KITTI-class scans and reports steady-state scans/sec on the
+available accelerator.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its design
+target class is FAST-LIO2's "<~25 ms/scan" on a desktop CPU (PAPERS.md,
+arXiv 2107.06829), i.e. 40 scans/sec.  vs_baseline is measured against
+that 40 scans/sec bar until a measured reference run exists.
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
+   "vs_baseline": N/40}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SCANS_PER_SEC = 40.0  # FAST-LIO2 paper-class 25 ms/scan
+
+
+def main():
+    import jax
+
+    from better_fastlio2_tpu.config import (
+        IkdtreeConfig,
+        LIOConfig,
+        MappingConfig,
+        ShapesConfig,
+    )
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+
+    cfg = LIOConfig()
+    # KITTI-class workload: ~60k raw points per scan, 0.4 m leaf
+    cfg.shapes = ShapesConfig(
+        n_raw=1 << 16,
+        n_ds=1 << 15,
+        n_imu=32,
+        map_capacity_log2=19,
+        map_bucket=8,
+        map_max_probe=12,
+        knn_chunk=8192,
+    )
+    cfg.mapping = MappingConfig(
+        det_range=60.0, cube_len=400.0, surf_leaf_size=0.4,
+        extrinsic_est_en=False,
+    )
+    cfg.ikdtree = IkdtreeConfig(max_iteration=3, filter_size_map_min=0.4)
+
+    n_scans = 40
+    groups = make_lio_sequence(
+        duration=n_scans / 10.0,
+        scan_rate=10.0,
+        imu_rate=100.0,
+        n_points=60_000,
+        seed=7,
+        noise=0.004,
+        traj=Trajectory(t_still=0.7, speed=3.0),
+    )
+
+    pipe = LIOPipeline(cfg)
+    # feed until initialised + a few warmup scans (compile + map growth)
+    warmup = 8
+    t_scan = []
+    for i, g in enumerate(groups):
+        t0 = time.perf_counter()
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is not None:
+            # block on a device value for honest timing
+            float(out["pos"][0])
+        t1 = time.perf_counter()
+        if out is not None:
+            t_scan.append(t1 - t0)
+
+    steady = np.array(t_scan[warmup:])
+    scans_per_sec = 1.0 / float(np.mean(steady))
+    print(
+        json.dumps(
+            {
+                "metric": "scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

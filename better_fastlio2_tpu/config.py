@@ -1,0 +1,173 @@
+"""Configuration system — mirrors the reference's YAML parameter tree.
+
+Key names and defaults follow the reference's param loads
+(reference: src/laserMapping.cpp:2017-2094 and config/*.yaml); grouped the
+same way (common/preprocess/mapping/ikdtree/loop/...).  A flat dataclass
+per group keeps things typed; `from_dict` accepts the reference YAML
+structure so existing config files port over unchanged.
+
+Additional `shapes`/`tpu` group: static padding sizes and map-table
+geometry that the reference (dynamic C++) did not need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+__all__ = ["LIOConfig", "load_yaml"]
+
+
+@dataclass
+class PreprocessConfig:
+    lidar_type: int = 1  # 1 Livox, 2 Velodyne, 3 Ouster, 4 Robosense (preprocess.h:8)
+    blind: float = 0.01  # blind-range radius, metres
+    scan_line: int = 16
+    scan_rate: int = 10
+    point_filter_num: int = 1  # stride subsampling
+    time_unit: int = 2  # 0 s, 1 ms, 2 us, 3 ns (preprocess.h:21-28)
+
+
+@dataclass
+class MappingConfig:
+    gyr_cov: float = 0.1
+    acc_cov: float = 0.1
+    b_gyr_cov: float = 0.0001
+    b_acc_cov: float = 0.0001
+    det_range: float = 300.0
+    fov_degree: float = 180.0
+    extrinsic_est_en: bool = True
+    cube_len: float = 200.0
+    surf_leaf_size: float = 0.2  # mappingSurfLeafSize
+    keyframe_adding_dist_threshold: float = 20.0
+    keyframe_adding_angle_threshold: float = 0.2
+    extrinsic_T: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # row-major 3x3
+    extrinsic_R: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+
+
+@dataclass
+class IkdtreeConfig:
+    """Named after the reference group; configures the voxel-hash map that
+    replaces ikd-Tree here."""
+
+    max_iteration: int = 4  # ESIKF iterations (NUM_MAX_ITERATIONS)
+    kd_step: int = 40  # map rebuild cadence (recontructKdTree analog)
+    recontruct_kdtree: bool = False
+    filter_size_map_min: float = 0.2  # map voxel size
+
+
+@dataclass
+class LoopConfig:
+    enable: bool = True
+    frequency: float = 1.0
+    search_radius: float = 10.0
+    search_time_diff: float = 30.0
+    search_num: int = 10
+    fitness_score: float = 0.3
+
+
+@dataclass
+class ShapesConfig:
+    """Static padding sizes (TPU-only concern)."""
+
+    n_raw: int = 1 << 17  # max raw points per scan
+    n_ds: int = 1 << 15  # max downsampled points per scan
+    n_imu: int = 64  # max IMU samples per scan
+    map_capacity_log2: int = 19
+    map_bucket: int = 8
+    map_max_probe: int = 16
+    knn_chunk: int = 8192
+
+
+@dataclass
+class LIOConfig:
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    ikdtree: IkdtreeConfig = field(default_factory=IkdtreeConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    shapes: ShapesConfig = field(default_factory=ShapesConfig)
+    dtype: str = "float32"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LIOConfig":
+        """Build from a reference-style YAML dict (config/*.yaml layout)."""
+        cfg = cls()
+        pre = d.get("preprocess", {})
+        for k_src, k_dst in [
+            ("lidar_type", "lidar_type"),
+            ("blind", "blind"),
+            ("scan_line", "scan_line"),
+            ("scan_rate", "scan_rate"),
+            ("point_filter_num", "point_filter_num"),
+            ("timestamp_unit", "time_unit"),
+            ("time_unit", "time_unit"),
+        ]:
+            if k_src in pre:
+                setattr(cfg.preprocess, k_dst, pre[k_src])
+        mp = d.get("mapping", {})
+        for k_src, k_dst in [
+            ("gyr_cov", "gyr_cov"),
+            ("acc_cov", "acc_cov"),
+            ("b_gyr_cov", "b_gyr_cov"),
+            ("b_acc_cov", "b_acc_cov"),
+            ("det_range", "det_range"),
+            ("fov_degree", "fov_degree"),
+            ("extrinsic_est_en", "extrinsic_est_en"),
+            ("cube_len", "cube_len"),
+            ("mappingSurfLeafSize", "surf_leaf_size"),
+            ("keyframeAddingDistThreshold", "keyframe_adding_dist_threshold"),
+            ("keyframeAddingAngleThreshold", "keyframe_adding_angle_threshold"),
+        ]:
+            if k_src in mp:
+                setattr(cfg.mapping, k_dst, mp[k_src])
+        if "extrinsic_T" in mp:
+            cfg.mapping.extrinsic_T = tuple(mp["extrinsic_T"])
+        if "extrinsic_R" in mp:
+            cfg.mapping.extrinsic_R = tuple(mp["extrinsic_R"])
+        kd = d.get("ikdtree", {})
+        for k_src, k_dst in [
+            ("max_iteration", "max_iteration"),
+            ("kd_step", "kd_step"),
+            ("recontructKdTree", "recontruct_kdtree"),
+            ("filter_size_map_min", "filter_size_map_min"),
+        ]:
+            if k_src in kd:
+                setattr(cfg.ikdtree, k_dst, kd[k_src])
+        lp = d.get("loop", {})
+        for k_src, k_dst in [
+            ("loopClosureEnableFlag", "enable"),
+            ("loopClosureFrequency", "frequency"),
+            ("historyKeyframeSearchRadius", "search_radius"),
+            ("historyKeyframeSearchTimeDiff", "search_time_diff"),
+            ("historyKeyframeSearchNum", "search_num"),
+            ("historyKeyframeFitnessScore", "fitness_score"),
+        ]:
+            if k_src in lp:
+                setattr(cfg.loop, k_dst, lp[k_src])
+        # top-level legacy keys (LIO-SAM heritage in the KITTI yaml)
+        if "mappingSurfLeafSize" in d:
+            cfg.mapping.surf_leaf_size = d["mappingSurfLeafSize"]
+        if "keyframeAddingDistThreshold" in d:
+            cfg.mapping.keyframe_adding_dist_threshold = d["keyframeAddingDistThreshold"]
+        if "keyframeAddingAngleThreshold" in d:
+            cfg.mapping.keyframe_adding_angle_threshold = d["keyframeAddingAngleThreshold"]
+        if "loopClosureEnableFlag" in d:
+            cfg.loop.enable = d["loopClosureEnableFlag"]
+        if "historyKeyframeSearchRadius" in d:
+            cfg.loop.search_radius = d["historyKeyframeSearchRadius"]
+        if "historyKeyframeSearchTimeDiff" in d:
+            cfg.loop.search_time_diff = d["historyKeyframeSearchTimeDiff"]
+        if "historyKeyframeSearchNum" in d:
+            cfg.loop.search_num = d["historyKeyframeSearchNum"]
+        if "historyKeyframeFitnessScore" in d:
+            cfg.loop.fitness_score = d["historyKeyframeFitnessScore"]
+        return cfg
+
+
+def load_yaml(path: str) -> LIOConfig:
+    import yaml
+
+    with open(path) as f:
+        return LIOConfig.from_dict(yaml.safe_load(f))

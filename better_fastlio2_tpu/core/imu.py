@@ -1,0 +1,220 @@
+"""IMU processing: static init, forward propagation, point undistortion.
+
+TPU-native re-design of ImuProcess (reference: src/IMU_Processing.hpp).
+The per-IMU-sample predict chain is a `lax.scan` over a statically padded
+sample buffer; the backward point-wise undistortion
+(IMU_Processing.hpp:334-386) becomes a batched gather over the recorded
+propagation poses — no per-point loop.
+
+Conventions: all times are float seconds relative to the scan begin time
+(the reference keeps absolute ROS stamps and ms offsets in `curvature`;
+the host-side loaders normalise).  Buffers are padded with mask=False
+rows; masked samples propagate with dt=0, i.e. exact no-ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import s2 as s2m
+from ..utils import so3
+from .esikf import predict
+from .state import State, init_P
+
+__all__ = ["ImuBatch", "ImuPoses", "imu_init", "propagate", "undistort", "build_Q"]
+
+
+class ImuBatch(NamedTuple):
+    """One scan's worth of IMU samples (padded to static M).
+
+    Sample 0 must be the last sample of the previous scan (the reference
+    prepends last_imu_, IMU_Processing.hpp:243-245).
+    """
+
+    acc: jax.Array  # (M, 3) raw accelerometer
+    gyr: jax.Array  # (M, 3) raw gyroscope
+    t: jax.Array  # (M,) sample time, seconds rel. scan begin
+    mask: jax.Array  # (M,) valid rows (monotone: True... False)
+
+
+class ImuPoses(NamedTuple):
+    """Recorded propagation states at IMU-rate, the Pose6D analog
+    (common_lib.h set_pose6d / msg/Pose6D.msg)."""
+
+    t: jax.Array  # (M,) offset time of each pose
+    pos: jax.Array  # (M, 3)
+    vel: jax.Array  # (M, 3)
+    rot: jax.Array  # (M, 4) quaternion [w,x,y,z]
+    acc_w: jax.Array  # (M, 3) world-frame acceleration over the interval ending here
+    gyr_b: jax.Array  # (M, 3) bias-corrected body angular rate over that interval
+
+
+def build_Q(gyr_cov, acc_cov, b_gyr_cov, b_acc_cov, dtype=jnp.float32) -> jax.Array:
+    """Process noise Q from config covariances (IMU_Processing.hpp:305-308)."""
+    d = jnp.concatenate(
+        [
+            jnp.full(3, gyr_cov, dtype),
+            jnp.full(3, acc_cov, dtype),
+            jnp.full(3, b_gyr_cov, dtype),
+            jnp.full(3, b_acc_cov, dtype),
+        ]
+    )
+    return jnp.diag(d)
+
+
+def imu_init(
+    acc: jax.Array,
+    gyr: jax.Array,
+    mask: jax.Array,
+    off_r: jax.Array,
+    off_t: jax.Array,
+    dtype=jnp.float32,
+) -> tuple[State, jax.Array, jax.Array]:
+    """Static initialisation from a buffer of stationary IMU samples
+    (IMU_init, IMU_Processing.hpp:174-233).
+
+    Gravity = -mean_acc/|mean_acc| * G on the S2 manifold; gyro bias =
+    mean_gyr; extrinsics injected from config; P = the reference's
+    hand-set diagonal.  Returns (state, P, mean_acc_norm) — the norm is
+    the accelerometer scale factor used during propagation
+    (IMU_Processing.hpp:287).
+    """
+    w = mask.astype(dtype)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean_acc = jnp.sum(acc * w, axis=0) / n
+    mean_gyr = jnp.sum(gyr * w, axis=0) / n
+    acc_norm = jnp.linalg.norm(mean_acc)
+    grav = -mean_acc / jnp.maximum(acc_norm, 1e-6) * s2m.GRAVITY
+
+    st = State(
+        pos=jnp.zeros(3, dtype),
+        rot=so3.quat_identity(dtype),
+        off_r=off_r.astype(dtype),
+        off_t=off_t.astype(dtype),
+        vel=jnp.zeros(3, dtype),
+        bg=mean_gyr.astype(dtype),
+        ba=jnp.zeros(3, dtype),
+        grav=grav.astype(dtype),
+    )
+    return st, init_P(dtype), acc_norm
+
+
+def propagate(
+    x: State,
+    P: jax.Array,
+    batch: ImuBatch,
+    Q: jax.Array,
+    acc_norm,
+    last_scan_end_t,
+    scan_end_t,
+    last_acc_w: jax.Array,
+    last_gyr_b: jax.Array,
+) -> tuple[State, jax.Array, ImuPoses]:
+    """Forward propagation over one scan's IMU samples (UndistortPcl's
+    forward pass, IMU_Processing.hpp:239-333).
+
+    Midpoint integration per consecutive pair; accelerometer scaled by
+    G/|mean_acc|; the first interval starts at last_scan_end_t.  Pose 0
+    records the incoming state with the previous scan's terminal
+    acceleration (the reference seeds IMUpose with acc_s_last/angvel_last).
+    Returns (state_at_scan_end, P, poses) — the final segment propagates
+    from the last IMU sample to scan_end_t (clamped non-negative; the
+    reference's `note*(pcl_end-imu_end)` always steps forward by the
+    absolute gap, IMU_Processing.hpp:324-327, which we tighten).
+    """
+    M = batch.t.shape[0]
+    g_scale = s2m.GRAVITY / jnp.maximum(acc_norm, 1e-6)
+
+    def step(carry, inp):
+        x, P, acc_w_prev, gyr_b_prev = carry
+        acc_h, acc_t, gyr_h, gyr_t, t_h, t_t, ok = inp
+        acc_avr = 0.5 * (acc_h + acc_t) * g_scale
+        gyr_avr = 0.5 * (gyr_h + gyr_t)
+        t0 = jnp.maximum(t_h, last_scan_end_t)
+        # padding rows carry t = inf; keep the arithmetic NaN-free
+        tt_safe = jnp.where(ok, t_t, 0.0)
+        t0_safe = jnp.where(ok, t0, 0.0)
+        dt = jnp.where(ok & (tt_safe > t0_safe), tt_safe - t0_safe, 0.0)
+        x2, P2 = predict(x, P, acc_avr, gyr_avr, dt, Q)
+        # masked (padding) steps freeze the recorded rates so downstream
+        # gathers never see garbage
+        gyr_b = jnp.where(ok, gyr_avr - x2.bg, gyr_b_prev)
+        acc_w = jnp.where(
+            ok, so3.quat_rotate(x2.rot, acc_avr - x2.ba) + x2.grav, acc_w_prev
+        )
+        pose = (t_t, x2.pos, x2.vel, x2.rot, acc_w, gyr_b)
+        return (x2, P2, acc_w, gyr_b), pose
+
+    inputs = (
+        batch.acc[:-1],
+        batch.acc[1:],
+        batch.gyr[:-1],
+        batch.gyr[1:],
+        batch.t[:-1],
+        batch.t[1:],
+        batch.mask[1:] & batch.mask[:-1],
+    )
+    (x_end, P_end, _, _), poses = jax.lax.scan(
+        step, (x, P, last_acc_w, last_gyr_b), inputs
+    )
+
+    # prepend pose 0 = incoming state at scan start
+    t_arr = jnp.concatenate([jnp.zeros(1, batch.t.dtype), poses[0]])
+    pos_arr = jnp.concatenate([x.pos[None], poses[1]])
+    vel_arr = jnp.concatenate([x.vel[None], poses[2]])
+    rot_arr = jnp.concatenate([x.rot[None], poses[3]])
+    acc_arr = jnp.concatenate([last_acc_w[None], poses[4]])
+    gyr_arr = jnp.concatenate([last_gyr_b[None], poses[5]])
+
+    # masked tail poses: clamp their timestamps to the last valid time so
+    # searchsorted never lands on padding
+    last_t = jnp.max(jnp.where(jnp.concatenate([jnp.ones(1, bool),
+                                                inputs[6]]), t_arr, -jnp.inf))
+    valid_pose = jnp.concatenate([jnp.ones(1, bool), inputs[6]])
+    t_arr = jnp.where(valid_pose, t_arr, jnp.inf)
+
+    # final hop: propagate to scan end using the last sample's rates
+    last_idx = jnp.sum(batch.mask.astype(jnp.int32)) - 1
+    acc_last = 0.5 * (batch.acc[jnp.maximum(last_idx - 1, 0)] + batch.acc[last_idx])
+    gyr_last = 0.5 * (batch.gyr[jnp.maximum(last_idx - 1, 0)] + batch.gyr[last_idx])
+    dt_tail = jnp.maximum(scan_end_t - last_t, 0.0)
+    x_fin, P_fin = predict(x_end, P_end, acc_last * g_scale, gyr_last, dt_tail, Q)
+
+    return x_fin, P_fin, ImuPoses(t_arr, pos_arr, vel_arr, rot_arr, acc_arr, gyr_arr)
+
+
+def undistort(
+    x_end: State,
+    poses: ImuPoses,
+    pts: jax.Array,
+    pt_t: jax.Array,
+) -> jax.Array:
+    """Motion-compensate points to the scan-end lidar frame
+    (IMU_Processing.hpp:334-386, formula at :374-376):
+
+        p_e = R_il^T ( R_we^T ( R_i (R_il p + t_il) + T_ei ) - t_il )
+
+    with R_i = R_head Exp(gyr * dt), T_ei = pos_head + vel_head dt
+    + 0.5 acc_tail dt^2 - pos_end.  Batched: each point gathers its
+    bracketing propagation pose via searchsorted.
+    """
+    idx = jnp.clip(
+        jnp.searchsorted(poses.t, pt_t, side="right") - 1, 0, poses.t.shape[0] - 2
+    )
+    t_h = poses.t[idx]
+    dt = jnp.maximum(pt_t - t_h, 0.0)[:, None]
+    rot_h = poses.rot[idx]
+    pos_h = poses.pos[idx]
+    vel_h = poses.vel[idx]
+    acc_t = poses.acc_w[idx + 1]
+    gyr_t = poses.gyr_b[idx + 1]
+
+    # R_i = R_head * Exp(gyr_tail * dt)
+    q_i = so3.quat_multiply(rot_h, so3.quat_exp(gyr_t * dt))
+    p_imu = so3.quat_rotate(x_end.off_r, pts) + x_end.off_t
+    p_w_i = so3.quat_rotate(q_i, p_imu) + pos_h + vel_h * dt + 0.5 * acc_t * dt * dt
+    p_imu_e = so3.quat_inv_rotate(x_end.rot, p_w_i - x_end.pos)
+    return so3.quat_inv_rotate(x_end.off_r, p_imu_e - x_end.off_t)

@@ -1,0 +1,149 @@
+"""Point-to-plane measurement model (h_share_model) — batched and masked.
+
+TPU-native re-design of the reference's OpenMP residual/Jacobian loop
+(reference: src/laserMapping.cpp:1876-2004) and the 5-point plane fit
+(include/common_lib.h esti_plane, :507-536).  The per-point work —
+transform, 5-NN against the voxel map, plane fit, robust gating, Jacobian
+rows — is one fused batched computation over a statically padded point set;
+validity masks replace the reference's dynamic compaction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..map import voxel_hash
+from ..utils import so3
+from .esikf import MeasurementOut
+from .state import State
+
+__all__ = ["plane_fit", "MeasureAux", "make_measure_fn", "transform_to_world"]
+
+NUM_MATCH_POINTS = 5  # NN count (common_lib.h NUM_MATCH_POINTS)
+MAX_NN_DIST2 = 5.0  # 5th-NN gate: sq dist > 5 invalid (laserMapping.cpp:1909-1912)
+PLANE_INLIER_THRESH = 0.1  # esti_plane threshold (laserMapping.cpp:1922)
+ROBUST_S_GATE = 0.9  # accept if s > 0.9 (laserMapping.cpp:1930)
+
+
+def plane_fit(
+    neighbors: jax.Array, valid: jax.Array, thresh: float = PLANE_INLIER_THRESH
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fit plane n·p + d = 0 through k neighbor points, batched.
+
+    Solves A @ nv = -1 in least squares via the 3x3 normal equations (the
+    reference uses col-pivoted QR on the 5x3 system, common_lib.h:521;
+    normal equations are MXU-friendly and equivalent here since the
+    systems are tiny and well-scaled), then normalizes:
+    n = nv/|nv|, d = 1/|nv|.  A fit is valid when all k inlier residuals
+    |n·p + d| <= thresh (common_lib.h:526-533).
+
+    Args: neighbors (N, k, 3), valid (N,) — rows with valid=False return
+    plane_ok=False.
+    Returns: (normal (N,3), d (N,), plane_ok (N,)).
+    """
+    A = neighbors  # (N, k, 3)
+    # Centered PCA fit: the reference's A n = -1 normal-equations system is
+    # numerically singular in f32 for coplanar points at large world
+    # coordinates (entries ~ coord^2), so we fit in the centroid frame:
+    # the LSQ plane passes through the centroid with normal = smallest
+    # eigenvector of the scatter matrix — identical plane, conditioned on
+    # the point spread (~ leaf size) instead of the world position.
+    c = jnp.mean(A, axis=1, keepdims=True)
+    q = A - c
+    C = jnp.einsum("nki,nkj->nij", q, q)
+    w, V = jnp.linalg.eigh(C)  # ascending; normal = V[:, :, 0]
+    n = V[..., 0]
+    d = -jnp.einsum("ni,ni->n", n, c[:, 0, :])
+    # reference sign convention: d > 0 (pca_result(3) = 1/|nv|)
+    sgn = jnp.where(d < 0, -1.0, 1.0)
+    n = n * sgn[:, None]
+    d = d * sgn
+    resid = jnp.abs(jnp.einsum("nki,ni->nk", A, n) + d[:, None])
+    plane_ok = valid & jnp.all(resid <= thresh, axis=-1)
+    return n, d, plane_ok
+
+
+class MeasureAux(NamedTuple):
+    """kNN association cache threaded through ESIKF iterations — the analog
+    of Nearest_Points / point_selected_surf persisting across h_share_model
+    calls (laserMapping.cpp:117,1903-1913)."""
+
+    neighbors: jax.Array  # (N, k, 3)
+    nn_ok: jax.Array  # (N,) 5 neighbors found and 5th within gate
+
+
+def transform_to_world(s: State, pts_body: jax.Array) -> jax.Array:
+    """p_world = R_wi (R_il p + t_il) + t_wi (laserMapping.cpp:1895)."""
+    p_imu = so3.quat_rotate(s.off_r, pts_body) + s.off_t
+    return so3.quat_rotate(s.rot, p_imu) + s.pos
+
+
+def make_measure_fn(
+    m: voxel_hash.VoxelHashMap,
+    pts_body: jax.Array,
+    pts_valid: jax.Array,
+    extrinsic_est: bool = False,
+    max_probe: int = 16,
+):
+    """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
+    over a fixed scan + map, for esikf.update_iterated.
+
+    `converged` gates re-association exactly like dyn_share.converge does
+    in the reference (laserMapping.cpp:1906-1913).
+    """
+    N = pts_body.shape[0]
+    dtype = pts_body.dtype
+
+    def measure(s: State, converged: jax.Array, aux: MeasureAux) -> MeasurementOut:
+        p_world = transform_to_world(s, pts_body)
+
+        def do_search(_):
+            nb, d2, ok = voxel_hash.knn(
+                m, p_world, k=NUM_MATCH_POINTS, max_probe=max_probe
+            )
+            nn_ok = (
+                jnp.all(ok, axis=-1)
+                & (d2[:, NUM_MATCH_POINTS - 1] <= MAX_NN_DIST2)
+                & pts_valid
+            )
+            return MeasureAux(nb, nn_ok)
+
+        aux = jax.lax.cond(converged, do_search, lambda a: a, aux)
+
+        n, d, plane_ok = plane_fit(aux.neighbors, aux.nn_ok)
+        pd2 = jnp.einsum("ni,ni->n", n, p_world) + d
+        body_norm = jnp.linalg.norm(pts_body, axis=-1)
+        srob = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(body_norm, 1e-8))
+        sel = plane_ok & (srob > ROBUST_S_GATE)
+
+        # Jacobian rows (laserMapping.cpp:1966-2002):
+        #   C = R_wi^T n (world normal into imu frame)
+        #   A = (R_il p + t_il)^ C
+        #   B = p_body^ R_il^T C   (extrinsic rotation, optional)
+        p_imu = so3.quat_rotate(s.off_r, pts_body) + s.off_t
+        C = so3.quat_inv_rotate(s.rot, n)
+        Arow = jnp.cross(p_imu, C)
+        h_x = jnp.concatenate(
+            [
+                n,
+                Arow,
+                (
+                    jnp.cross(pts_body, so3.quat_inv_rotate(s.off_r, C))
+                    if extrinsic_est
+                    else jnp.zeros_like(n)
+                ),
+                (C if extrinsic_est else jnp.zeros_like(n)),
+            ],
+            axis=-1,
+        )
+        h = -pd2
+        return MeasurementOut(h_x=h_x, h=h, mask=sel, aux=aux)
+
+    aux0 = MeasureAux(
+        neighbors=jnp.zeros((N, NUM_MATCH_POINTS, 3), dtype),
+        nn_ok=jnp.zeros(N, bool),
+    )
+    return measure, aux0

@@ -1,0 +1,64 @@
+"""Voxel-grid downsampling — static-shape analog of pcl::VoxelGrid.
+
+The reference downsamples every scan with PCL's VoxelGrid filter
+(reference: src/laserMapping.cpp:2322-2323, filter sizes from config
+`filter_size_surf` / `filter_size_map`).  PCL keeps one centroid per
+occupied voxel; this implementation does the same with a sort + segmented
+mean, returning a fixed-size padded array + mask (output order is by voxel
+hash then coordinates, which downstream consumers must treat as a set —
+the reference's output order is PCL-internal and equally unspecified).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["voxel_downsample"]
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def voxel_downsample(
+    pts: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    out_size: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Centroid-per-voxel downsample.
+
+    Args:
+      pts: (N, 3) padded points.
+      valid: (N,) row mask.
+      voxel_size: scalar voxel edge length.
+      out_size: output padding (defaults to N).
+
+    Returns (out_pts (M,3), out_valid (M,)).
+    """
+    N = pts.shape[0]
+    M = out_size or N
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
+    ijk = jnp.floor(pts / voxel_size).astype(jnp.int32)
+    ijk = jnp.where(valid[:, None], ijk, INT_MAX)
+    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    ijk_s = ijk[order]
+    pts_s = jnp.where(valid[order][:, None], pts[order], 0.0)
+    valid_s = valid[order]
+
+    head = (
+        jnp.concatenate(
+            [jnp.array([True]), jnp.any(ijk_s[1:] != ijk_s[:-1], axis=-1)]
+        )
+        & valid_s
+    )
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # group id, -1 for leading pad
+    seg = jnp.where(valid_s, seg, M)  # invalid rows drop
+
+    sums = jnp.zeros((M, 3), pts.dtype).at[seg].add(pts_s, mode="drop")
+    cnts = jnp.zeros((M,), jnp.int32).at[seg].add(valid_s.astype(jnp.int32),
+                                                  mode="drop")
+    out_valid = cnts > 0
+    out = sums / jnp.maximum(cnts, 1)[:, None]
+    return out, out_valid

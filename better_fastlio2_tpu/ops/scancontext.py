@@ -1,0 +1,197 @@
+"""Scan Context descriptors as dense tensor ops.
+
+TPU-native re-design of SCManager (reference: include/sc-relo/
+Scancontext.{h,cpp}).  The descriptor is a 20x60 polar max-height image
+(makeScancontext, Scancontext.cpp:195-251); retrieval and alignment
+become batched matmul/roll reductions instead of a nanoflann kd-tree +
+per-candidate loops:
+
+* ring keys (row means, rotation invariant, :260) — candidate search is a
+  brute-force batched L2 against the whole database + top_k.  For the
+  database sizes involved (10^3-10^4 keyframes x 20 floats) one fused
+  matmul beats any tree traversal on this hardware, and there is no
+  TREE_MAKING_PERIOD_ staleness (the reference rebuilds its kd-tree only
+  every 50 inserts, :418-429).
+* column-shift alignment scores every one of the 60 rotations at once
+  (the reference prunes to a sector-key argmin ±10% window,
+  :146-190 — pruning saves nothing here, and scoring all shifts is
+  strictly more accurate).
+
+Parameters match Scancontext.h:84-102.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "SCParams",
+    "make_descriptor",
+    "ring_key",
+    "sector_key",
+    "sc_distance",
+    "sc_distance_batch",
+    "SCDatabase",
+    "make_database",
+    "add_descriptor",
+    "detect_loop",
+]
+
+
+class SCParams(NamedTuple):
+    num_ring: int = 20  # PC_NUM_RING
+    num_sector: int = 60  # PC_NUM_SECTOR
+    max_radius: float = 80.0  # PC_MAX_RADIUS
+    lidar_height: float = 1.5  # LIDAR_HEIGHT
+    dist_thresh: float = 0.3  # SC_DIST_THRES
+    num_exclude_recent: int = 30  # NUM_EXCLUDE_RECENT
+    num_candidates: int = 3  # NUM_CANDIDATES_FROM_TREE
+
+
+@partial(jax.jit, static_argnames=("params",))
+def make_descriptor(
+    pts: jax.Array, valid: jax.Array, params: SCParams = SCParams()
+) -> jax.Array:
+    """Polar BEV max-height descriptor (makeScancontext).
+
+    Bin (ring, sector) takes max(z + lidar_height) of its points within
+    max_radius; empty bins are 0.  Bin indexing matches the reference's
+    ceil()-based 1..N clamp (Scancontext.cpp:231-233).
+    """
+    R, S = params.num_ring, params.num_sector
+    x, y = pts[:, 0], pts[:, 1]
+    z = pts[:, 2] + params.lidar_height
+    rng = jnp.sqrt(x * x + y * y)
+    # xy2theta: atan2 mapped to [0, 360)
+    theta = jnp.degrees(jnp.arctan2(y, x))
+    theta = jnp.where(theta < 0, theta + 360.0, theta)
+
+    ring = jnp.clip(jnp.ceil(rng / params.max_radius * R), 1, R) - 1
+    sect = jnp.clip(jnp.ceil(theta / 360.0 * S), 1, S) - 1
+    ok = valid & (rng <= params.max_radius)
+
+    flat = (ring * S + sect).astype(jnp.int32)
+    flat = jnp.where(ok, flat, R * S)  # OOB drops
+    NO_POINT = jnp.asarray(-1000.0, pts.dtype)
+    desc = jnp.full(R * S, NO_POINT, pts.dtype).at[flat].max(
+        jnp.where(ok, z, NO_POINT), mode="drop"
+    )
+    desc = jnp.where(desc == NO_POINT, 0.0, desc)
+    return desc.reshape(R, S)
+
+
+def ring_key(desc: jax.Array) -> jax.Array:
+    """Rotation-invariant row means (makeRingkeyFromScancontext)."""
+    return jnp.mean(desc, axis=-1)
+
+
+def sector_key(desc: jax.Array) -> jax.Array:
+    """Column means (makeSectorkeyFromScancontext)."""
+    return jnp.mean(desc, axis=-2)
+
+
+def _all_shift_cosine(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """Column-wise mean cosine distance of d1 vs every circular shift of d2.
+
+    Returns (S,) distances: index s = distDirectSC(d1, circshift(d2, s)).
+    Empty columns (zero norm in either operand) are excluded from the mean
+    (Scancontext.cpp:85-99).
+    """
+    R, S = d1.shape
+    # dots[s, c] = d1[:, c] . d2[:, c - s]
+    # build shifted stack of d2: (S, R, S)
+    shifts = jnp.arange(S)
+    cols = jnp.arange(S)
+    src = (cols[None, :] - shifts[:, None]) % S  # (S, S)
+    d2_shift = d2[:, src]  # (R, S, S) -> axis order (R, shift, col)
+    d2_shift = jnp.moveaxis(d2_shift, 1, 0)  # (shift, R, col)
+    dots = jnp.einsum("rc,src->sc", d1, d2_shift)
+    n1 = jnp.linalg.norm(d1, axis=0)  # (S,)
+    n2 = jnp.linalg.norm(d2, axis=0)  # (S,)
+    n2s = n2[src]  # (S, S) [shift, col]
+    eff = (n1[None, :] > 0) & (n2s > 0)
+    denom = jnp.maximum(n1[None, :] * n2s, 1e-12)
+    sims = jnp.where(eff, dots / denom, 0.0)
+    cnt = jnp.maximum(jnp.sum(eff, axis=1), 1)
+    return 1.0 - jnp.sum(sims, axis=1) / cnt
+
+
+@jax.jit
+def sc_distance(d1: jax.Array, d2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(min distance, argmin shift) over all rotations
+    (distanceBtnScanContext; full-shift search, see module docstring)."""
+    d = _all_shift_cosine(d1, d2)
+    s = jnp.argmin(d)
+    return d[s], s
+
+
+@jax.jit
+def sc_distance_batch(
+    d1: jax.Array, d2s: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Batched sc_distance of one query against (K, R, S) candidates."""
+    d = jax.vmap(lambda c: _all_shift_cosine(d1, c))(d2s)  # (K, S)
+    s = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(d, s[:, None], axis=-1)[:, 0], s
+
+
+class SCDatabase(NamedTuple):
+    """Fixed-capacity descriptor store (polarcontexts_ analog)."""
+
+    descs: jax.Array  # (K, R, S)
+    rkeys: jax.Array  # (K, R)
+    count: jax.Array  # () int32
+
+
+def make_database(capacity: int, params: SCParams = SCParams(),
+                  dtype=jnp.float32) -> SCDatabase:
+    return SCDatabase(
+        descs=jnp.zeros((capacity, params.num_ring, params.num_sector), dtype),
+        rkeys=jnp.zeros((capacity, params.num_ring), dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add_descriptor(db: SCDatabase, desc: jax.Array) -> SCDatabase:
+    """Append (saveScancontextAndKeys analog); silently drops past capacity."""
+    i = db.count
+    return SCDatabase(
+        descs=db.descs.at[i].set(desc, mode="drop"),
+        rkeys=db.rkeys.at[i].set(ring_key(desc), mode="drop"),
+        count=jnp.minimum(i + 1, db.descs.shape[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def detect_loop(
+    db: SCDatabase, desc: jax.Array, params: SCParams = SCParams()
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Global loop retrieval (detectClosestKeyframeID,
+    Scancontext.cpp:402-470).
+
+    Candidates = top `num_candidates` ring-key L2 matches among entries
+    older than `num_exclude_recent`; winner = min full SC distance.
+    Returns (loop_idx (int32, -1 if none), distance, shift).  The caller
+    applies the SC_DIST_THRES acceptance gate.
+    """
+    K = db.descs.shape[0]
+    q = ring_key(desc)
+    d2 = jnp.sum((db.rkeys - q[None, :]) ** 2, axis=-1)
+    searchable = jnp.arange(K) < (db.count - params.num_exclude_recent)
+    d2 = jnp.where(searchable, d2, jnp.inf)
+    _, cand = jax.lax.top_k(-d2, params.num_candidates)
+    cand_ok = jnp.take(searchable, cand)
+    dists, shifts = sc_distance_batch(desc, db.descs[cand])
+    dists = jnp.where(cand_ok, dists, jnp.inf)
+    best = jnp.argmin(dists)
+    have = jnp.isfinite(dists[best])
+    return (
+        jnp.where(have, cand[best], -1).astype(jnp.int32),
+        dists[best],
+        shifts[best],
+    )

@@ -1,0 +1,325 @@
+"""LIO odometry pipeline — the TPU-native analog of the mapping main loop.
+
+Orchestrates one scan tick (reference: src/laserMapping.cpp:2225-2460):
+
+    IMU forward propagation + undistortion      (ImuProcess::Process)
+    moving-FoV map crop                         (lasermap_fov_segment)
+    scan voxel downsample                       (VoxelGrid, :2322)
+    iterated ESIKF point-to-plane update        (update_iterated_dyn_share_modified)
+    map incremental insert                      (map_incremental)
+
+The entire tick is ONE jitted, static-shape device program; the host loop
+only feeds padded scan/IMU buffers and reads back poses.  The sequential
+scan-to-scan dependence is inherent to SLAM (SURVEY.md §7.3): per-chip
+throughput comes from intra-scan batching, not scan parallelism.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LIOConfig
+from ..core import esikf, imu, measurement
+from ..core.state import State, identity_state, init_P
+from ..map import voxel_hash
+from ..ops.downsample import voxel_downsample
+from ..utils import so3
+
+__all__ = ["LIOState", "LIOPipeline", "make_step_fn"]
+
+MOV_THRESHOLD = 1.5  # laserMapping.cpp MOV_THRESHOLD
+
+
+class LIOState(NamedTuple):
+    """Complete device-side filter state threaded through scan ticks."""
+
+    x: State
+    P: jax.Array
+    map: voxel_hash.VoxelHashMap
+    cube_lo: jax.Array  # (3,) local-map box
+    cube_hi: jax.Array
+    cube_init: jax.Array  # () bool
+    last_acc_w: jax.Array  # (3,) terminal world acceleration of prev scan
+    last_gyr_b: jax.Array  # (3,) terminal bias-corrected gyro of prev scan
+    ekf_inited: jax.Array  # () bool — first scans only build the map
+
+
+def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range):
+    """Moving-cube local map management (laserMapping.cpp:1136-1200)."""
+    half = cube_len / 2.0
+    lo0 = pos_lid - half
+    hi0 = pos_lid + half
+
+    def init_case():
+        return lo0, hi0, jnp.zeros(3, bool)
+
+    def move_case():
+        d_lo = jnp.abs(pos_lid - ls.cube_lo)
+        d_hi = jnp.abs(ls.cube_hi - pos_lid)
+        thr = MOV_THRESHOLD * det_range
+        near_lo = d_lo <= thr
+        near_hi = d_hi <= thr
+        mov = jnp.maximum(
+            (cube_len - 2.0 * MOV_THRESHOLD * det_range) * 0.45,
+            det_range * (MOV_THRESHOLD - 1.0),
+        )
+        shift = jnp.where(near_lo, -mov, jnp.where(near_hi, mov, 0.0))
+        return ls.cube_lo + shift, ls.cube_hi + shift, near_lo | near_hi
+
+    lo, hi, moved = jax.lax.cond(ls.cube_init, move_case, init_case)
+    need_crop = ls.cube_init & jnp.any(moved)
+    m = jax.lax.cond(
+        need_crop,
+        lambda mm: voxel_hash.crop_outside_box(mm, lo, hi),
+        lambda mm: mm,
+        ls.map,
+    )
+    return ls._replace(map=m, cube_lo=lo, cube_hi=hi,
+                       cube_init=jnp.array(True))
+
+
+def make_step_fn(cfg: LIOConfig):
+    """Build the jitted scan-tick function.
+
+    step(ls, pts, pt_t, pt_valid, imu_batch, last_end_rel, scan_end_t,
+         acc_norm) -> (ls', info dict)
+
+    pts: (n_raw, 3) lidar-frame points (already blind-culled/strided by
+    the host preprocessor); pt_t: (n_raw,) per-point offsets (s) from scan
+    begin; imu_batch times also relative to scan begin; scan_end_t: scan
+    duration (s); last_end_rel: previous scan's end time relative to this
+    scan's begin (host-computed in f64 — absolute epoch stamps never reach
+    the device, where f32 would lose them).
+    """
+    sh = cfg.shapes
+    mp = cfg.mapping
+    dtype = jnp.dtype(cfg.dtype)
+    Q = imu.build_Q(mp.gyr_cov, mp.acc_cov, mp.b_gyr_cov, mp.b_acc_cov, dtype)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(
+        ls: LIOState,
+        pts: jax.Array,
+        pt_t: jax.Array,
+        pt_valid: jax.Array,
+        imu_b: imu.ImuBatch,
+        last_end_rel: jax.Array,
+        scan_end_t: jax.Array,
+        acc_norm: jax.Array,
+    ):
+        # ---- IMU forward propagation + backward undistortion -------------
+        x_prop, P_prop, poses = imu.propagate(
+            ls.x, ls.P, imu_b, Q, acc_norm, last_end_rel, scan_end_t,
+            ls.last_acc_w, ls.last_gyr_b,
+        )
+        pts_body = imu.undistort(x_prop, poses, pts, pt_t)
+
+        # ---- local map FoV crop around the lidar position -----------------
+        pos_lid = x_prop.pos + so3.quat_rotate(x_prop.rot, x_prop.off_t)
+        ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range)
+
+        # ---- scan downsample ---------------------------------------------
+        pts_ds, ds_valid = voxel_downsample(
+            pts_body, pt_valid, mp.surf_leaf_size, out_size=sh.n_ds
+        )
+
+        # ---- iterated ESIKF update ---------------------------------------
+        measure, aux0 = measurement.make_measure_fn(
+            ls.map,
+            pts_ds,
+            ds_valid,
+            extrinsic_est=mp.extrinsic_est_en,
+            max_probe=sh.map_max_probe,
+        )
+
+        def do_update(_):
+            return esikf.update_iterated(
+                x_prop, P_prop, measure, aux0,
+                max_iter=cfg.ikdtree.max_iteration,
+            )[:2]
+
+        def skip_update(_):
+            return x_prop, P_prop
+
+        n_valid = jnp.sum(ds_valid.astype(jnp.int32))
+        can_update = ls.ekf_inited & (n_valid >= 5)  # laserMapping.cpp:2347
+        x_post, P_post = jax.lax.cond(can_update, do_update, skip_update,
+                                      operand=None)
+
+        # ---- map incremental insert --------------------------------------
+        pts_world = measurement.transform_to_world(x_post, pts_ds)
+        m = voxel_hash.insert(
+            ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe
+        )
+
+        ls = LIOState(
+            x=x_post,
+            P=P_post,
+            map=m,
+            cube_lo=ls.cube_lo,
+            cube_hi=ls.cube_hi,
+            cube_init=ls.cube_init,
+            last_acc_w=poses.acc_w[-1],  # frozen to last valid sample
+            last_gyr_b=poses.gyr_b[-1],
+            ekf_inited=jnp.array(True),
+        )
+        info = {
+            "pos": x_post.pos,
+            "quat": x_post.rot,
+            "n_ds": n_valid,
+            "map_voxels": voxel_hash.num_voxels(m),
+        }
+        return ls, info
+
+    return step
+
+
+class LIOPipeline:
+    """Host-side driver: IMU init bookkeeping + jitted scan ticks.
+
+    The analog of the reference main() loop state machine: the first
+    MAX_INI_COUNT IMU packets run static initialisation
+    (IMU_Processing.hpp:393-433), after which every scan executes the
+    jitted tick.
+    """
+
+    MAX_INI_COUNT = 10  # IMU_Processing.hpp:4
+
+    def __init__(self, cfg: LIOConfig):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.dtype)
+        self._step = make_step_fn(cfg)
+        self._init_acc: list[np.ndarray] = []
+        self._init_gyr: list[np.ndarray] = []
+        self.inited = False
+        self.acc_norm = 9.81
+        self.ls: LIOState | None = None
+        self.last_scan_end_abs: float | None = None  # f64 host-side clock
+        self.trajectory: list[np.ndarray] = []
+
+    # -- init ---------------------------------------------------------------
+    def _make_ls(self, x: State, P) -> LIOState:
+        sh = self.cfg.shapes
+        m = voxel_hash.make_map(
+            capacity_log2=sh.map_capacity_log2,
+            bucket=sh.map_bucket,
+            voxel_size=self.cfg.ikdtree.filter_size_map_min,
+            dtype=self.dtype,
+        )
+        # NB: distinct arrays per field — the step donates its input state,
+        # and XLA rejects donating one buffer under two aliases.
+        def z3():
+            return jnp.zeros(3, self.dtype)
+
+        return LIOState(
+            x=x,
+            P=P,
+            map=m,
+            cube_lo=z3(),
+            cube_hi=z3(),
+            cube_init=jnp.array(False),
+            last_acc_w=z3(),
+            last_gyr_b=z3(),
+            ekf_inited=jnp.array(False),
+        )
+
+    def _try_init(self, imu_acc: np.ndarray, imu_gyr: np.ndarray) -> bool:
+        self._init_acc.append(imu_acc)
+        self._init_gyr.append(imu_gyr)
+        n = sum(len(a) for a in self._init_acc)
+        if n <= self.MAX_INI_COUNT:
+            return False
+        acc = np.concatenate(self._init_acc)
+        gyr = np.concatenate(self._init_gyr)
+        mpc = self.cfg.mapping
+        off_r = so3.matrix_to_quat(
+            jnp.asarray(np.array(mpc.extrinsic_R, float).reshape(3, 3),
+                        self.dtype)
+        )
+        off_t = jnp.asarray(np.array(mpc.extrinsic_T, float), self.dtype)
+        x0, P0, acc_norm = imu.imu_init(
+            jnp.asarray(acc, self.dtype),
+            jnp.asarray(gyr, self.dtype),
+            jnp.ones(len(acc), bool),
+            off_r,
+            off_t,
+            self.dtype,
+        )
+        self.acc_norm = float(acc_norm)
+        self.ls = self._make_ls(x0, P0)
+        self.inited = True
+        return True
+
+    # -- per scan -----------------------------------------------------------
+    def process_scan(
+        self,
+        pts: np.ndarray,
+        pt_t: np.ndarray,
+        imu_acc: np.ndarray,
+        imu_gyr: np.ndarray,
+        imu_t: np.ndarray,
+        scan_beg_abs: float,
+        scan_end_t: float,
+    ):
+        """Feed one synchronized measurement group (sync_packages analog).
+
+        pts (n,3) lidar frame; pt_t (n,) seconds from scan begin;
+        imu_t seconds from scan begin (sample 0 should be the tail of the
+        previous packet).  Returns an info dict or None while initialising.
+        """
+        if not self.inited:
+            init_done = self._try_init(imu_acc, imu_gyr)
+            self.last_scan_end_abs = scan_beg_abs + scan_end_t
+            del init_done
+            return None
+
+        sh = self.cfg.shapes
+        n = len(pts)
+        n_pad = sh.n_raw
+        if n > n_pad:
+            stride = -(-n // n_pad)
+            pts, pt_t = pts[::stride][:n_pad], pt_t[::stride][:n_pad]
+            n = len(pts)
+        P = np.zeros((n_pad, 3), self.dtype)
+        T = np.zeros(n_pad, self.dtype)
+        V = np.zeros(n_pad, bool)
+        P[:n], T[:n], V[:n] = pts, pt_t, True
+
+        m_imu = sh.n_imu
+        k = min(len(imu_acc), m_imu)
+        A = np.zeros((m_imu, 3), self.dtype)
+        G = np.zeros((m_imu, 3), self.dtype)
+        Tt = np.full(m_imu, np.inf, self.dtype)
+        Mk = np.zeros(m_imu, bool)
+        A[:k], G[:k], Tt[:k], Mk[:k] = (
+            imu_acc[:k], imu_gyr[:k], imu_t[:k], True,
+        )
+        batch = imu.ImuBatch(
+            acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
+            mask=jnp.asarray(Mk),
+        )
+
+        last_end_rel = (
+            (self.last_scan_end_abs - scan_beg_abs)
+            if self.last_scan_end_abs is not None
+            else 0.0
+        )
+        self.ls, info = self._step(
+            self.ls,
+            jnp.asarray(P),
+            jnp.asarray(T),
+            jnp.asarray(V),
+            batch,
+            jnp.asarray(last_end_rel, self.dtype),
+            jnp.asarray(scan_end_t, self.dtype),
+            jnp.asarray(self.acc_norm, self.dtype),
+        )
+        self.last_scan_end_abs = scan_beg_abs + scan_end_t
+        out = {k2: np.asarray(v) for k2, v in info.items()}
+        self.trajectory.append(np.concatenate([out["pos"], out["quat"]]))
+        return out

@@ -1,0 +1,92 @@
+"""End-to-end LIO pipeline test on the synthetic world.
+
+Runs the full jitted scan tick (propagation, undistortion, downsample,
+iterated ESIKF update, map insert) over a simulated sequence and checks
+absolute trajectory error against analytic ground truth — the automated
+replacement for the reference's manual rosbag-replay validation
+(SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from better_fastlio2_tpu.config import (
+    IkdtreeConfig,
+    LIOConfig,
+    MappingConfig,
+    ShapesConfig,
+)
+from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+
+
+def small_cfg() -> LIOConfig:
+    cfg = LIOConfig()
+    cfg.dtype = "float32"
+    cfg.shapes = ShapesConfig(
+        n_raw=8192,
+        n_ds=4096,
+        n_imu=32,
+        map_capacity_log2=16,
+        map_bucket=4,
+        map_max_probe=8,
+        knn_chunk=4096,
+    )
+    cfg.mapping = MappingConfig(
+        gyr_cov=0.1,
+        acc_cov=0.1,
+        b_gyr_cov=1e-4,
+        b_acc_cov=1e-4,
+        det_range=60.0,
+        cube_len=400.0,
+        surf_leaf_size=0.4,
+        extrinsic_est_en=False,
+    )
+    cfg.ikdtree = IkdtreeConfig(max_iteration=3, filter_size_map_min=0.4)
+    return cfg
+
+
+@pytest.mark.slow
+def test_lio_tracks_synthetic_trajectory():
+    groups = make_lio_sequence(
+        duration=4.0, scan_rate=10.0, imu_rate=100.0, n_points=4000, seed=3,
+        noise=0.004, traj=Trajectory(t_still=1.0, speed=2.0),
+    )
+    pipe = LIOPipeline(small_cfg())
+    errs = []
+    # the filter's world origin is the IMU pose at init time (stationary
+    # at [0, 0, height]); align GT into that frame
+    origin = np.array([0.0, 0.0, 1.5])
+    for g in groups:
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is not None:
+            errs.append(np.linalg.norm(out["pos"] - (g["gt_pos"] - origin)))
+    assert len(errs) > 20
+    ate = np.sqrt(np.mean(np.square(errs)))
+    final_err = errs[-1]
+    # moved ~6 m; demand centimetre-level tracking
+    assert ate < 0.10, f"ATE RMSE too high: {ate:.3f} m (errors {errs[-5:]})"
+    assert final_err < 0.15, f"final error {final_err:.3f} m"
+
+
+@pytest.mark.slow
+def test_lio_stationary_stays_put():
+    groups = make_lio_sequence(
+        duration=2.5, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=5,
+        noise=0.003, traj=Trajectory(t_still=1e9),  # never moves
+    )
+    pipe = LIOPipeline(small_cfg())
+    last = None
+    for g in groups:
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is not None:
+            last = out
+    assert last is not None
+    origin = np.array([0.0, 0.0, 1.5])
+    drift = np.linalg.norm(last["pos"] - (groups[-1]["gt_pos"] - origin))
+    assert drift < 0.05, f"stationary drift {drift:.3f} m"

@@ -1,0 +1,117 @@
+"""Voxel-hash map tests: insert/query parity with brute-force kNN,
+box-crop semantics, rebuild compaction, and determinism."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from better_fastlio2_tpu.map import voxel_hash as vh
+
+
+def brute_knn(db, q, k):
+    d2 = ((db[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return np.take_along_axis(d2, idx, axis=1)
+
+
+def test_insert_and_exact_knn_within_neighborhood(rng):
+    pts = rng.uniform(-10, 10, size=(2000, 3)).astype(np.float64)
+    m = vh.make_map(capacity_log2=14, bucket=8, voxel_size=1.0, dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+
+    q = rng.uniform(-8, 8, size=(64, 3))
+    nb, d2, ok = vh.knn(m, jnp.asarray(q), k=5)
+    d2 = np.asarray(d2)
+    ok = np.asarray(ok)
+
+    want = brute_knn(pts, q, 5)
+    for i in range(len(q)):
+        # all returned neighbors must be true db points
+        got = np.asarray(nb)[i][ok[i]]
+        for g in got:
+            assert np.min(((pts - g) ** 2).sum(-1)) < 1e-12
+        # where brute-force 5-NN are all within the 1-voxel shell, results
+        # must agree exactly (guaranteed coverage radius = voxel_size)
+        if want[i, 4] < 1.0**2:
+            assert ok[i].all()
+            np.testing.assert_allclose(np.sort(d2[i]), want[i], atol=1e-9)
+
+
+def test_bucket_capacity_drops_excess(rng):
+    # 100 points in one voxel, bucket=8: only 8 stored
+    pts = rng.uniform(0, 0.4, size=(100, 3))
+    m = vh.make_map(capacity_log2=8, bucket=8, voxel_size=0.5, dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(100, bool))
+    assert int(vh.num_voxels(m)) == 1
+    assert int(m.count.max()) == 8
+
+
+def test_incremental_insert_accumulates(rng):
+    m = vh.make_map(capacity_log2=12, bucket=4, voxel_size=0.5, dtype=jnp.float64)
+    a = rng.uniform(-5, 5, size=(300, 3))
+    b = rng.uniform(-5, 5, size=(300, 3))
+    m = vh.insert(m, jnp.asarray(a), jnp.ones(300, bool))
+    n1 = int(vh.num_voxels(m))
+    m = vh.insert(m, jnp.asarray(b), jnp.ones(300, bool))
+    n2 = int(vh.num_voxels(m))
+    assert n2 >= n1
+    # a point from batch one is still queryable
+    nb, d2, ok = vh.knn(m, jnp.asarray(a[:8]), k=1)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-12)
+
+
+def test_crop_and_rebuild(rng):
+    pts = rng.uniform(-10, 10, size=(1000, 3))
+    m = vh.make_map(capacity_log2=13, bucket=4, voxel_size=1.0, dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(1000, bool))
+    lo = jnp.asarray([-5.0, -5.0, -5.0])
+    hi = jnp.asarray([5.0, 5.0, 5.0])
+    m2 = vh.crop_outside_box(m, lo, hi)
+
+    inside = pts[np.all((pts >= -5) & (pts < 5), axis=1)]
+    outside = pts[~np.all((pts >= -4) & (pts < 4), axis=1)]
+    # inside points (away from voxel-center edge effects) still found
+    probe = inside[np.all((inside >= -4) & (inside < 4), axis=1)][:32]
+    _, d2, ok = vh.knn(m2, jnp.asarray(probe), k=1)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-12)
+    # outside points (away from boundary) gone
+    probe_out = outside[np.any((outside < -6) | (outside >= 6), axis=1)][:32]
+    _, _, ok_out = vh.knn(m2, jnp.asarray(probe_out), k=1)
+    d2o = np.asarray(vh.knn(m2, jnp.asarray(probe_out), k=1)[1])[:, 0]
+    assert not np.any(d2o < 1e-9)
+
+    # rebuild compacts tombstones but preserves the live set
+    m3 = vh.rebuild(m2)
+    assert int(np.asarray(vh.tombstone_fraction(m3)) == 0)
+    _, d2r, okr = vh.knn(m3, jnp.asarray(probe), k=1)
+    assert np.asarray(okr).all()
+    np.testing.assert_allclose(np.asarray(d2r)[:, 0], 0.0, atol=1e-12)
+
+
+def test_insert_deterministic(rng):
+    pts = rng.uniform(-10, 10, size=(500, 3))
+    ms = []
+    for _ in range(2):
+        m = vh.make_map(capacity_log2=12, bucket=4, voxel_size=0.7,
+                        dtype=jnp.float64)
+        m = vh.insert(m, jnp.asarray(pts), jnp.ones(500, bool))
+        ms.append(m)
+    np.testing.assert_array_equal(np.asarray(ms[0].coords), np.asarray(ms[1].coords))
+    np.testing.assert_array_equal(np.asarray(ms[0].state), np.asarray(ms[1].state))
+    np.testing.assert_array_equal(np.asarray(ms[0].points), np.asarray(ms[1].points))
+
+
+def test_masked_rows_ignored(rng):
+    pts = rng.uniform(-3, 3, size=(64, 3))
+    valid = np.zeros(64, bool)
+    valid[:10] = True
+    m = vh.make_map(capacity_log2=10, bucket=4, voxel_size=0.5, dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.asarray(valid))
+    _, d2, ok = vh.knn(m, jnp.asarray(pts[10:20]), k=1)
+    d2 = np.asarray(d2)[:, 0]
+    # invalid points must not be present exactly (unless coincidentally near)
+    for i, p in enumerate(pts[10:20]):
+        dmin = ((pts[:10] - p) ** 2).sum(-1).min()
+        if np.asarray(ok)[i, 0]:
+            assert d2[i] >= dmin - 1e-9
