@@ -1,0 +1,268 @@
+"""Full SLAM pipeline: LIO front end + keyframes + loops + pose graph.
+
+The back-end orchestration of the reference's mapping node (reference:
+src/laserMapping.cpp):
+
+  saveFrame                 :525-547  keyframe gating (dist/angle)
+  addOdomFactor             :550-582  odom between-factors
+  performLoopClosure        :890-1018 radius+time candidate, submaps,
+                                      Scan Context gate, yaw pre-align,
+                                      ICP verify, loop factor
+  saveKeyFramesAndFactor    :680-766  optimize, feed pose back to filter
+  correctPoses              :769-805  rewrite keyframe poses after loop
+
+The reference runs loop closure on a 1 Hz std::thread sharing state
+under a mutex (P4 in SURVEY.md §2.6); here it runs synchronously every
+`loop_every` keyframes — same semantics, deterministic schedule.  The
+device work (SC descriptors, ICP, pose-graph GN) is jitted; bookkeeping
+(keyframe clouds, timestamps) lives on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend import posegraph as pg
+from ..config import LIOConfig
+from ..ops import icp as icp_ops
+from ..ops import scancontext as sc
+from ..utils import se3, so3
+from .lio import LIOPipeline
+
+__all__ = ["SLAMPipeline"]
+
+
+@dataclass
+class Keyframe:
+    idx: int
+    t: float
+    pose: np.ndarray  # (7,) current best estimate [wxyz|t]
+    odom_pose: np.ndarray  # (7,) pose at creation (odometry frame)
+    cloud: np.ndarray  # (n, 3) body-frame downsampled points
+    desc: np.ndarray  # (20, 60) scan context
+
+
+class SLAMPipeline:
+    """LIOPipeline + pose-graph backend, mirroring the mapping node."""
+
+    def __init__(self, cfg: LIOConfig, max_keyframes: int = 2048,
+                 loop_every: int = 5, sc_params: sc.SCParams | None = None):
+        self.cfg = cfg
+        self.lio = LIOPipeline(cfg)
+        self.sc_params = sc_params or sc.SCParams()
+        self.keyframes: list[Keyframe] = []
+        self.loop_pairs: list[tuple[int, int]] = []
+        self.loop_every = loop_every
+        self._kf_count_at_last_loop = 0
+        self.graph = pg.make_graph(
+            max_poses=max_keyframes,
+            max_priors=8,
+            max_between=4 * max_keyframes,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+        self._graph_dirty = False
+
+    # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
+    def _is_keyframe(self, pose7: np.ndarray) -> bool:
+        if not self.keyframes:
+            return True
+        prev = self.keyframes[-1].pose
+        rel = se3.between(jnp.asarray(prev), jnp.asarray(pose7))
+        d = float(jnp.linalg.norm(se3.trans(rel)))
+        ang = float(jnp.linalg.norm(so3.quat_log(se3.rot(rel))))
+        mp = self.cfg.mapping
+        return (
+            d > mp.keyframe_adding_dist_threshold
+            or ang > mp.keyframe_adding_angle_threshold
+        )
+
+    def process_scan(self, pts, pt_t, imu_acc, imu_gyr, imu_t,
+                     scan_beg_abs, scan_end_t):
+        out = self.lio.process_scan(
+            pts, pt_t, imu_acc, imu_gyr, imu_t, scan_beg_abs, scan_end_t
+        )
+        if out is None:
+            return None
+        pose7 = np.concatenate([out["quat"], out["pos"]]).astype(np.float64)
+        if self._is_keyframe(pose7):
+            self._add_keyframe(pose7, pts, scan_beg_abs + scan_end_t)
+            if (
+                self.cfg.loop.enable
+                and len(self.keyframes) - self._kf_count_at_last_loop
+                >= self.loop_every
+            ):
+                self._kf_count_at_last_loop = len(self.keyframes)
+                closed = self._try_loop_closure()
+                if closed:
+                    self._optimize_and_correct()
+        out["n_keyframes"] = len(self.keyframes)
+        out["n_loops"] = len(self.loop_pairs)
+        return out
+
+    # -- keyframe + odom factor (addOdomFactor, :550-582) ------------------
+    def _add_keyframe(self, pose7, pts, t_abs):
+        k = len(self.keyframes)
+        sub = pts[:: max(1, len(pts) // 4096)]
+        desc = np.asarray(
+            sc.make_descriptor(
+                jnp.asarray(sub, jnp.dtype(self.cfg.dtype)),
+                jnp.ones(len(sub), bool),
+                self.sc_params,
+            )
+        )
+        kf = Keyframe(idx=k, t=t_abs, pose=pose7.copy(),
+                      odom_pose=pose7.copy(), cloud=sub.astype(np.float32),
+                      desc=desc)
+        self.keyframes.append(kf)
+        dtype = jnp.dtype(self.cfg.dtype)
+        pose_j = jnp.asarray(pose7, dtype)
+        self.graph = pg.set_pose(self.graph, k, pose_j)
+        if k == 0:
+            # prior noise 1e-12 (laserMapping.cpp:556)
+            self.graph = pg.add_prior(self.graph, 0, pose_j, 1e-6, 1e-6)
+        else:
+            prev = jnp.asarray(self.keyframes[-2].odom_pose, dtype)
+            cur = jnp.asarray(self.keyframes[-1].odom_pose, dtype)
+            rel = se3.between(prev, cur)
+            # between noise: rot 1e-6 var, trans 1e-4 var (:569)
+            self.graph = pg.add_between(
+                self.graph, k - 1, k, rel, 1e-2, 1e-3
+            )
+
+    # -- loop detection (detectLoopClosureDistance, :815-850) --------------
+    def _detect_candidate(self) -> int | None:
+        cur = self.keyframes[-1]
+        if len(self.keyframes) < 2:
+            return None
+        ps = np.stack([k.pose[4:7] for k in self.keyframes[:-1]])
+        d = np.linalg.norm(ps - cur.pose[4:7], axis=1)
+        ok = (d < self.cfg.loop.search_radius) & (
+            np.array([abs(k.t - cur.t) for k in self.keyframes[:-1]])
+            > self.cfg.loop.search_time_diff
+        )
+        if not ok.any():
+            return None
+        return int(np.argmin(np.where(ok, d, np.inf)))
+
+    # -- submap assembly (loopFindNearKeyframes, :856-883) -----------------
+    def _submap(self, center_idx: int, half: int, frame_pose: np.ndarray,
+                max_pts: int = 20000) -> np.ndarray:
+        lo = max(0, center_idx - half)
+        hi = min(len(self.keyframes), center_idx + half + 1)
+        inv = se3.inverse(jnp.asarray(frame_pose, np.float32))
+        parts = []
+        for k in range(lo, hi):
+            kf = self.keyframes[k]
+            w = se3.apply(jnp.asarray(kf.pose, kf.cloud.dtype),
+                          jnp.asarray(kf.cloud))
+            parts.append(np.asarray(se3.apply(inv, w)))
+        cat = np.concatenate(parts)
+        if len(cat) > max_pts:
+            cat = cat[:: len(cat) // max_pts + 1]
+        return cat
+
+    # -- loop closure (performLoopClosure, :890-1018) ----------------------
+    def _try_loop_closure(self) -> bool:
+        cand = self._detect_candidate()
+        if cand is None:
+            return False
+        cur = self.keyframes[-1]
+        half = self.cfg.loop.search_num
+        cur_local = self._submap(cur.idx, 0, cur.pose)
+        old_local = self._submap(cand, half, self.keyframes[cand].pose)
+
+        # Scan Context gate on the two submaps (:932-943)
+        d1 = sc.make_descriptor(
+            jnp.asarray(cur_local, jnp.float32),
+            jnp.ones(len(cur_local), bool), self.sc_params,
+        )
+        d2 = sc.make_descriptor(
+            jnp.asarray(old_local, jnp.float32),
+            jnp.ones(len(old_local), bool), self.sc_params,
+        )
+        dist, shift = sc.sc_distance(d1, d2)
+        if float(dist) > self.sc_params.dist_thresh:
+            return False
+
+        # yaw pre-alignment from the SC shift (:954-962)
+        yaw0 = -float(shift) * 2.0 * np.pi / self.sc_params.num_sector
+        init = se3.make(
+            so3.quat_exp(jnp.asarray([0.0, 0.0, yaw0],
+                                     jnp.dtype(self.cfg.dtype))),
+            jnp.zeros(3, jnp.dtype(self.cfg.dtype)),
+        )
+        # ICP verify: cur keyframe cloud vs old submap, in old-kf frame
+        # via current relative estimate (:946-974)
+        rel_est = se3.between(
+            jnp.asarray(self.keyframes[cand].pose,
+                        jnp.dtype(self.cfg.dtype)),
+            jnp.asarray(cur.pose, jnp.dtype(self.cfg.dtype)),
+        )
+        icp_dtype = jnp.dtype(self.cfg.dtype)
+        res = icp_ops.icp_point2plane(
+            jnp.asarray(cur_local, icp_dtype),
+            jnp.ones(len(cur_local), bool),
+            jnp.asarray(old_local, icp_dtype),
+            jnp.ones(len(old_local), bool),
+            se3.compose(init, rel_est) if abs(yaw0) > 0.3 else rel_est,
+            max_corr=10.0,
+            iters=25,
+            voxel=1.0,
+        )
+        if float(res.fitness) > self.cfg.loop.fitness_score:
+            return False
+
+        # loop factor: T_cand->cur from ICP (noise = fitness, :1010-1017)
+        sigma = max(float(res.fitness), 1e-3)
+        self.graph = pg.add_between(
+            self.graph,
+            cand,
+            cur.idx,
+            res.pose.astype(jnp.dtype(self.cfg.dtype)),
+            sigma,
+            sigma,
+        )
+        self.loop_pairs.append((cand, cur.idx))
+        return True
+
+    # -- optimize + correct (saveKeyFramesAndFactor/correctPoses) ----------
+    def _optimize_and_correct(self):
+        self.graph = pg.optimize(self.graph, iters=6, cg_iters=50)
+        poses = np.asarray(self.graph.poses[: len(self.keyframes)],
+                           np.float64)
+        for k, kf in enumerate(self.keyframes):
+            kf.pose = poses[k]
+        # feed the corrected pose back into the filter (kf.change_x
+        # semantics, laserMapping.cpp:744-754): replace pos+rot only
+        latest = poses[-1]
+        ls = self.lio.ls
+        x = ls.x._replace(
+            pos=jnp.asarray(latest[4:7], jnp.dtype(self.cfg.dtype)),
+            rot=jnp.asarray(latest[0:4], jnp.dtype(self.cfg.dtype)),
+        )
+        self.lio.ls = ls._replace(x=x)
+
+    # -- persistence --------------------------------------------------------
+    def save_session(self, root: str):
+        from ..io.session import SessionWriter
+
+        w = SessionWriter(root=root)
+        for kf in self.keyframes:
+            w.add_keyframe(kf.cloud, np.zeros(len(kf.cloud)), kf.desc,
+                           kf.pose)
+        for k in range(1, len(self.keyframes)):
+            rel = se3.between(
+                jnp.asarray(self.keyframes[k - 1].pose),
+                jnp.asarray(self.keyframes[k].pose),
+            )
+            w.add_edge(k - 1, k, np.asarray(rel))
+        for (i, j) in self.loop_pairs:
+            rel = se3.between(
+                jnp.asarray(self.keyframes[i].pose),
+                jnp.asarray(self.keyframes[j].pose),
+            )
+            w.add_edge(i, j, np.asarray(rel))
+        w.save()

@@ -1,0 +1,129 @@
+"""SLAM backend wiring tests: keyframe gating, loop detection + ICP
+verification + graph correction, on fabricated keyframes (fast, no full
+sequence replay)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from better_fastlio2_tpu.config import (
+    IkdtreeConfig,
+    LIOConfig,
+    LoopConfig,
+    MappingConfig,
+    ShapesConfig,
+)
+from better_fastlio2_tpu.pipeline.slam import Keyframe, SLAMPipeline
+from better_fastlio2_tpu.utils import se3, so3
+
+
+def cfg_small():
+    cfg = LIOConfig()
+    cfg.shapes = ShapesConfig(n_raw=4096, n_ds=2048, n_imu=32,
+                              map_capacity_log2=14, map_bucket=4,
+                              map_max_probe=8, knn_chunk=2048)
+    cfg.mapping = MappingConfig(keyframe_adding_dist_threshold=1.0,
+                                keyframe_adding_angle_threshold=0.2)
+    cfg.loop = LoopConfig(enable=True, search_radius=5.0,
+                          search_time_diff=10.0, search_num=3,
+                          fitness_score=0.3)
+    cfg.ikdtree = IkdtreeConfig(max_iteration=3)
+    return cfg
+
+
+def room_cloud(rng, n=3000):
+    k = n // 3
+    floor = np.stack([rng.uniform(-10, 10, k), rng.uniform(-10, 10, k),
+                      np.full(k, -1.5)], 1)
+    w1 = np.stack([rng.uniform(-10, 10, k), np.full(k, 10.0),
+                   rng.uniform(-1.5, 3, k)], 1)
+    w2 = np.stack([np.full(k, -10.0), rng.uniform(-10, 10, k),
+                   rng.uniform(-1.5, 3, k)], 1)
+    return np.concatenate([floor, w1, w2]).astype(np.float32)
+
+
+def make_kf(idx, t, pose7, world, rng):
+    """Keyframe whose body cloud = world seen from pose (consistent)."""
+    inv = se3.inverse(jnp.asarray(pose7))
+    body = np.asarray(se3.apply(inv, jnp.asarray(world, jnp.float64)))
+    body = body + rng.normal(scale=0.004, size=body.shape)
+    from better_fastlio2_tpu.ops import scancontext as sc
+
+    desc = np.asarray(
+        sc.make_descriptor(jnp.asarray(body, jnp.float32),
+                           jnp.ones(len(body), bool))
+    )
+    return Keyframe(idx=idx, t=t, pose=pose7.copy(), odom_pose=pose7.copy(),
+                    cloud=body.astype(np.float32), desc=desc)
+
+
+def yaw_pose(yaw, t):
+    return np.concatenate(
+        [np.asarray(so3.quat_exp(jnp.asarray([0.0, 0.0, yaw]))),
+         np.asarray(t, float)]
+    )
+
+
+def test_loop_closure_on_fabricated_revisit(rng):
+    """Drifted revisit: last keyframe is physically at the start but its
+    estimated pose carries drift; the loop pipeline must detect, verify
+    with ICP, and pull the estimate back."""
+    world = room_cloud(rng)
+    pipe = SLAMPipeline(cfg_small(), max_keyframes=64, loop_every=1)
+    import better_fastlio2_tpu.backend.posegraph as pg
+
+    # trajectory: out and back along x, 12 keyframes, 1.1 m apart
+    true_xs = list(np.linspace(0, 6, 7)) + list(np.linspace(5, 1, 5))
+    drift = np.array([0.04, 0.03, 0.0])
+    for k, x in enumerate(true_xs):
+        true_pose = yaw_pose(0.0, [x, 0, 0])
+        est_pose = true_pose.copy()
+        est_pose[4:7] += drift * k  # accumulated drift in estimate
+        kf = make_kf(k, t=float(k * 2.0), pose7=est_pose, world=world,
+                     rng=rng)
+        # cloud must reflect TRUE pose (sensor saw the real world)
+        kf_true = make_kf(k, t=float(k * 2.0), pose7=true_pose, world=world,
+                          rng=rng)
+        kf.cloud = kf_true.cloud
+        kf.desc = kf_true.desc
+        pipe.keyframes.append(kf)
+        dtype = jnp.float32
+        pipe.graph = pg.set_pose(pipe.graph, k, jnp.asarray(est_pose, dtype))
+        if k == 0:
+            pipe.graph = pg.add_prior(pipe.graph, 0,
+                                      jnp.asarray(est_pose, dtype), 1e-6,
+                                      1e-6)
+        else:
+            prev = jnp.asarray(pipe.keyframes[k - 1].odom_pose)
+            cur = jnp.asarray(pipe.keyframes[k].odom_pose)
+            rel = se3.between(prev, cur).astype(dtype)
+            pipe.graph = pg.add_between(pipe.graph, k - 1, k, rel, 1e-2,
+                                        1e-3)
+
+    closed = pipe._try_loop_closure()
+    assert closed, "loop closure not detected/verified"
+    assert pipe.loop_pairs, "no loop factor recorded"
+
+    pipe.lio.ls = None  # not running the front end here
+    pipe._optimize_and_correct_graph_only = True
+    # run optimization without filter feedback
+    pipe.graph = pg.optimize(pipe.graph, iters=6, cg_iters=50)
+    poses = np.asarray(pipe.graph.poses[: len(pipe.keyframes)])
+    # last keyframe should be pulled toward its true x=1 position
+    err_before = np.linalg.norm(
+        pipe.keyframes[-1].pose[4:7] - np.array([1.0, 0, 0])
+    )
+    err_after = np.linalg.norm(poses[-1, 4:7] - np.array([1.0, 0, 0]))
+    assert err_after < err_before * 0.5, (err_before, err_after)
+
+
+def test_keyframe_gating():
+    pipe = SLAMPipeline(cfg_small(), max_keyframes=16)
+    p0 = yaw_pose(0.0, [0, 0, 0])
+    assert pipe._is_keyframe(p0)  # first is always a keyframe
+    pipe.keyframes.append(
+        Keyframe(0, 0.0, p0, p0, np.zeros((1, 3), np.float32),
+                 np.zeros((20, 60)))
+    )
+    assert not pipe._is_keyframe(yaw_pose(0.05, [0.5, 0, 0]))
+    assert pipe._is_keyframe(yaw_pose(0.0, [1.5, 0, 0]))  # dist gate
+    assert pipe._is_keyframe(yaw_pose(0.3, [0.1, 0, 0]))  # angle gate
