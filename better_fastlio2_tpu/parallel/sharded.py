@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..backend import posegraph as pg
@@ -105,9 +106,13 @@ def sharded_update_step(mesh: Mesh, cfg=None, axis: str = "dp"):
 
         # replicated tiny solve: dx = (HtH + (P/R)^-1)^-1 Hth
         R = 0.001
-        A = jnp.linalg.inv(P_ / R)
-        A = A.at[:12, :12].add(HtH)
-        dx = jnp.linalg.inv(A)[:, :12] @ Hth
+        eyeP = jnp.eye(ERR_DIM, dtype=P_.dtype)
+        S_inv = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(P_ / R), True), eyeP
+        )
+        A = S_inv.at[:12, :12].add(HtH)
+        rhs = jnp.zeros(ERR_DIM, P_.dtype).at[:12].set(Hth)
+        dx = jnp.linalg.solve(A, rhs)
         return dx, jnp.sum(w)
 
     mspec = voxel_hash.VoxelHashMap(

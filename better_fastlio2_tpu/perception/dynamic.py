@@ -1,0 +1,277 @@
+"""Dynamic-object removal: curved-voxel clustering + PD/HD tracking.
+
+TPU-native re-design of the reference's SSC + TGRS pipeline
+(reference: include/dynamic-remove/tgrs.{h,cpp} — the simplified
+T-GRS 2024 "SCV-OD").  Mapping from the reference's hash-map +
+sequential-merge design to dense grid ops:
+
+* SSC scan encoding (tgrs.h:117-185): polar voxelisation at
+  0.25 m x 2 deg x 3 deg over range 1-50 m, azimuth [-30, 60] deg —
+  here a dense (AZIMUTH, RANGE, SECTOR) = (30, 196, 180) occupancy grid
+  (~1M cells, 4 MB int32 — comfortable in HBM).
+* cluster (tgrs.cpp:30-109): like the reference's findVoxelNeighbors
+  (tgrs.cpp:12-28), the sector axis does NOT wrap at 0/360 deg — clusters
+  straddling the seam split in both implementations.  The reference merges
+  point labels through
+  a quadratic rewrite loop; connected components over 26-neighbourhood
+  voxels are computed here by iterative min-label propagation with
+  `reduce_window` until fixpoint — same components, deterministic.
+* recognizePD (tgrs.cpp:125-139): cluster bbox gates
+  min_z <= -(sensor_height - 0.2) and max_z + sensor_height <= PD_HEIGHT
+  (PD = "potentially dynamic").
+* trackPD (tgrs.cpp:141-212): project next frame's PD voxel centers into
+  the previous frame via the relative pose; overlap ratio of their
+  27-neighbourhoods with the previous occupancy <= HD_RATIO (0.7)
+  declares the cluster HD (dynamic); survivors are AS (static).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import se3
+
+__all__ = ["SSCParams", "SSCGrid", "encode_scan", "cluster_grid",
+           "recognize_pd", "track_pd", "dynamic_removal_masks"]
+
+
+class SSCParams(NamedTuple):
+    # tgrs.h:9-30
+    sensor_height: float = 0.4
+    min_dis: float = 1.0
+    max_dis: float = 50.0
+    min_azimuth: float = -30.0  # degrees (elevation angle)
+    max_azimuth: float = 60.0
+    range_res: float = 0.25
+    sector_res: float = 2.0  # degrees
+    azimuth_res: float = 3.0  # degrees
+    hd_ratio: float = 0.7
+    max_clusters: int = 512
+
+    @property
+    def range_num(self) -> int:
+        import math
+
+        return math.ceil((self.max_dis - self.min_dis) / self.range_res)
+
+    @property
+    def sector_num(self) -> int:
+        import math
+
+        return math.ceil(360.0 / self.sector_res)
+
+    @property
+    def azimuth_num(self) -> int:
+        import math
+
+        return math.ceil((self.max_azimuth - self.min_azimuth) / self.azimuth_res)
+
+    @property
+    def pd_height(self) -> float:
+        return self.sensor_height + 0.5
+
+
+class SSCGrid(NamedTuple):
+    occ: jax.Array  # (A, R, S) bool
+    labels: jax.Array  # (A, R, S) int32 cluster label per voxel (-1 empty)
+    pt_voxel: jax.Array  # (N,) flat voxel id per point (-1 invalid)
+    pt_valid: jax.Array  # (N,)
+
+
+def _polar_bins(pts: jax.Array, prm: SSCParams):
+    x, y, zc = pts[:, 0], pts[:, 1], pts[:, 2]
+    dis = jnp.hypot(x, y)
+    ang = jnp.degrees(jnp.arctan2(y, x))
+    ang = jnp.where(ang < 0, ang + 360.0, ang)
+    azi = jnp.degrees(jnp.arctan2(zc, jnp.maximum(dis, 1e-9)))
+    ri = jnp.ceil((dis - prm.min_dis) / prm.range_res).astype(jnp.int32) - 1
+    si = jnp.ceil(ang / prm.sector_res).astype(jnp.int32) - 1
+    ai = jnp.ceil((azi - prm.min_azimuth) / prm.azimuth_res).astype(jnp.int32) - 1
+    ok = (
+        (dis >= prm.min_dis)
+        & (dis <= prm.max_dis)
+        & (azi >= prm.min_azimuth)
+        & (azi <= prm.max_azimuth)
+    )
+    ri = jnp.clip(ri, 0, prm.range_num - 1)
+    si = jnp.clip(si, 0, prm.sector_num - 1)
+    ai = jnp.clip(ai, 0, prm.azimuth_num - 1)
+    return ri, si, ai, ok
+
+
+@partial(jax.jit, static_argnames=("prm",))
+def encode_scan(
+    pts: jax.Array, valid: jax.Array, prm: SSCParams = SSCParams()
+) -> SSCGrid:
+    """Build the curved-voxel occupancy grid of the non-ground cloud
+    (makeApriVec + makeHashCloud, tgrs.h:117-185)."""
+    A, R, S = prm.azimuth_num, prm.range_num, prm.sector_num
+    ri, si, ai, ok = _polar_bins(pts, prm)
+    ok = ok & valid
+    flat = (ai * R + ri) * S + si
+    flat = jnp.where(ok, flat, A * R * S)
+    occ = jnp.zeros(A * R * S, bool).at[flat].set(True, mode="drop")
+    return SSCGrid(
+        occ=occ.reshape(A, R, S),
+        labels=jnp.full((A, R, S), -1, jnp.int32),
+        pt_voxel=jnp.where(ok, flat, -1),
+        pt_valid=ok,
+    )
+
+
+@partial(jax.jit, static_argnames=("prm", "max_iters"))
+def cluster_grid(grid: SSCGrid, prm: SSCParams = SSCParams(),
+                 max_iters: int = 128) -> SSCGrid:
+    """26-neighbourhood connected components by min-label propagation
+    (cluster, tgrs.cpp:30-109).  Labels are flat voxel ids of the
+    component minimum; empty voxels stay -1."""
+    A, R, S = grid.occ.shape
+    ids = jnp.arange(A * R * S, dtype=jnp.int32).reshape(A, R, S)
+    BIG = jnp.int32(A * R * S + 1)
+    lab0 = jnp.where(grid.occ, ids, BIG)
+
+    def body(state):
+        lab, _ = state
+        nxt = -jax.lax.reduce_window(
+            -lab,
+            jnp.int32(-BIG),
+            jax.lax.max,
+            window_dimensions=(3, 3, 3),
+            window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+        nxt = jnp.where(grid.occ, jnp.minimum(lab, nxt), BIG)
+        return nxt, jnp.any(nxt != lab)
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.array(True)))
+    labels = jnp.where(grid.occ, lab, -1)
+    return grid._replace(labels=labels)
+
+
+def _voxel_centers(prm: SSCParams, dtype=jnp.float32):
+    """Centers of all voxels (A, R, S, 3) (makeHashCloud, tgrs.h:172-178)."""
+    A, R, S = prm.azimuth_num, prm.range_num, prm.sector_num
+    ri = jnp.arange(R, dtype=dtype)
+    si = jnp.arange(S, dtype=dtype)
+    ai = jnp.arange(A, dtype=dtype)
+    rc = (ri * 2 + 1) / 2 * prm.range_res + prm.min_dis
+    sc = jnp.radians((si * 2 + 1) / 2 * prm.sector_res)
+    ac = jnp.radians((ai * 2 + 1) / 2 * prm.azimuth_res + prm.min_azimuth)
+    x = rc[None, :, None] * jnp.cos(sc)[None, None, :]
+    y = rc[None, :, None] * jnp.sin(sc)[None, None, :]
+    z = rc[None, :, None] * jnp.tan(ac)[:, None, None]
+    z = jnp.broadcast_to(z, (A, R, S))
+    x = jnp.broadcast_to(x, (A, R, S))
+    y = jnp.broadcast_to(y, (A, R, S))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("prm",))
+def recognize_pd(grid: SSCGrid, prm: SSCParams = SSCParams()) -> jax.Array:
+    """Per-voxel bool: belongs to a potentially-dynamic (PD) cluster
+    (recognizePD, tgrs.cpp:125-139): cluster bbox of voxel centers with
+    min_z <= -(h-0.2) and max_z + h <= PD_HEIGHT."""
+    A, R, S = grid.occ.shape
+    V = A * R * S
+    centers = _voxel_centers(prm)
+    lab = grid.labels.reshape(-1)
+    cz = centers[..., 2].reshape(-1)
+    # labels are component-min flat voxel ids, so a V-sized scatter gives
+    # exact per-cluster reductions (no compaction or hashing needed)
+    key = jnp.where(lab >= 0, lab, V)
+    zmin = jnp.full(V + 1, jnp.inf, cz.dtype).at[key].min(
+        jnp.where(lab >= 0, cz, jnp.inf)
+    )
+    zmax = jnp.full(V + 1, -jnp.inf, cz.dtype).at[key].max(
+        jnp.where(lab >= 0, cz, -jnp.inf)
+    )
+    is_pd = (zmin <= -(prm.sensor_height - 0.2)) & (
+        zmax + prm.sensor_height <= prm.pd_height
+    )
+    pd = jnp.where(lab >= 0, is_pd[jnp.minimum(key, V - 1)], False)
+    return pd.reshape(A, R, S)
+
+
+@partial(jax.jit, static_argnames=("prm",))
+def track_pd(
+    prev: SSCGrid,
+    rel_pose: jax.Array,
+    grid: SSCGrid,
+    pd_mask: jax.Array,
+    prm: SSCParams = SSCParams(),
+) -> jax.Array:
+    """Classify PD clusters as HD (dynamic) or AS (static)
+    (trackPD, tgrs.cpp:141-212).
+
+    rel_pose: T_prev <- next (trans_pre^-1 * trans_next).  Each PD voxel
+    center of `grid` is projected into the previous frame; a projection
+    "hits" when any voxel in its 27-neighbourhood was occupied in `prev`.
+    Per-cluster overlap ratio <= hd_ratio => dynamic.
+
+    Returns per-voxel bool: voxel belongs to a DYNAMIC (HD) cluster.
+    """
+    A, R, S = grid.occ.shape
+    centers = _voxel_centers(prm).reshape(-1, 3)
+    proj = se3.apply(rel_pose, centers)
+    ri, si, ai, ok = _polar_bins(proj, prm)
+
+    # 27-neighbourhood occupancy of prev: dilate prev.occ once
+    occ_dil = jax.lax.reduce_window(
+        prev.occ.astype(jnp.int32),
+        jnp.int32(0),
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    ).astype(bool)
+    hit = ok & occ_dil[ai, ri, si]
+
+    V = A * R * S
+    lab = grid.labels.reshape(-1)
+    pdv = pd_mask.reshape(-1) & (lab >= 0)
+    key = jnp.where(pdv, lab, V)
+    n_all = jnp.zeros(V + 1, jnp.int32).at[key].add(pdv.astype(jnp.int32))
+    n_hit = jnp.zeros(V + 1, jnp.int32).at[key].add(
+        (pdv & hit).astype(jnp.int32)
+    )
+    ratio = n_hit / jnp.maximum(n_all, 1)
+    hd_lab = (ratio <= prm.hd_ratio) & (n_all > 0)
+    hd = pdv & hd_lab[jnp.minimum(key, V - 1)]
+    return hd.reshape(A, R, S)
+
+
+def dynamic_removal_masks(
+    pts: jax.Array,
+    valid: jax.Array,
+    ground_mask: jax.Array,
+    prev_grid: SSCGrid | None,
+    rel_pose: jax.Array,
+    prm: SSCParams = SSCParams(),
+):
+    """Full per-scan dynamic-removal step.
+
+    Returns (static_mask (N,), grid) — static = ground + points of
+    non-dynamic clusters (cloud_nd assembly, tgrs.cpp:203-208).  With no
+    previous frame every PD cluster is kept (nothing can be tracked yet).
+    """
+    ng = valid & ~ground_mask
+    grid = encode_scan(pts, ng, prm)
+    grid = cluster_grid(grid, prm)
+    pd = recognize_pd(grid, prm)
+    if prev_grid is None:
+        hd = jnp.zeros_like(pd)
+    else:
+        hd = track_pd(prev_grid, rel_pose, grid, pd, prm)
+    hd_flat = hd.reshape(-1)
+    pt_dynamic = grid.pt_valid & jnp.take(
+        hd_flat, jnp.maximum(grid.pt_voxel, 0), fill_value=False
+    )
+    static = valid & (ground_mask | (~pt_dynamic))
+    return static, grid

@@ -168,13 +168,24 @@ def make_step_fn(cfg: LIOConfig):
             last_gyr_b=poses.gyr_b[-1],
             ekf_inited=jnp.array(True),
         )
-        info = {
-            "pos": x_post.pos,
-            "quat": x_post.rot,
-            "n_ds": n_valid,
-            "map_voxels": voxel_hash.num_voxels(m),
-        }
-        return ls, info
+        # Pack every per-scan output into ONE flat f32 vector: device->host
+        # readback of small oddly-shaped arrays is pathologically slow on
+        # the remote-TPU path (a (3,) readback can stall ~seconds), while a
+        # single 1-D vector transfers in ~5 ms.
+        info_vec = jnp.concatenate(
+            [
+                x_post.pos.astype(jnp.float32),
+                x_post.rot.astype(jnp.float32),
+                jnp.stack(
+                    [
+                        n_valid.astype(jnp.float32),
+                        voxel_hash.num_voxels(m).astype(jnp.float32),
+                    ]
+                ),
+                jnp.zeros(7, jnp.float32),  # pad to 16
+            ]
+        )
+        return ls, info_vec
 
     return step
 
@@ -309,7 +320,7 @@ class LIOPipeline:
             if self.last_scan_end_abs is not None
             else 0.0
         )
-        self.ls, info = self._step(
+        self.ls, info_vec = self._step(
             self.ls,
             jnp.asarray(P),
             jnp.asarray(T),
@@ -320,6 +331,12 @@ class LIOPipeline:
             jnp.asarray(self.acc_norm, self.dtype),
         )
         self.last_scan_end_abs = scan_beg_abs + scan_end_t
-        out = {k2: np.asarray(v) for k2, v in info.items()}
-        self.trajectory.append(np.concatenate([out["pos"], out["quat"]]))
+        v = np.asarray(info_vec)  # single flat readback
+        out = {
+            "pos": v[0:3],
+            "quat": v[3:7],
+            "n_ds": int(v[7]),
+            "map_voxels": int(v[8]),
+        }
+        self.trajectory.append(v[0:7].copy())
         return out

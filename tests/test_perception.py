@@ -1,0 +1,159 @@
+"""Perception plugin tests: Patchwork ground segmentation and the
+SSC/TGRS dynamic-removal pipeline on synthetic scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from better_fastlio2_tpu.perception import dynamic as dyn
+from better_fastlio2_tpu.perception.patchwork import (
+    PatchworkParams,
+    estimate_ground,
+)
+from better_fastlio2_tpu.utils import se3
+
+
+def ground_scene(rng, n_ground=20000, n_obj=600, h=1.732):
+    """Flat ground at z=-h + a box-shaped object + a wall."""
+    g = np.stack(
+        [
+            rng.uniform(-30, 30, n_ground),
+            rng.uniform(-30, 30, n_ground),
+            -h + rng.normal(scale=0.02, size=n_ground),
+        ],
+        1,
+    )
+    box = np.stack(
+        [
+            rng.uniform(5, 6, n_obj),
+            rng.uniform(2, 3, n_obj),
+            rng.uniform(-h, -h + 1.2, n_obj),
+        ],
+        1,
+    )
+    wall = np.stack(
+        [
+            rng.uniform(-20, 20, n_obj),
+            np.full(n_obj, 30.0),
+            rng.uniform(-h, 6.0, n_obj),
+        ],
+        1,
+    )
+    pts = np.concatenate([g, box, wall]).astype(np.float32)
+    labels = np.concatenate(
+        [np.ones(n_ground, bool), np.zeros(2 * n_obj, bool)]
+    )
+    return pts, labels
+
+
+def test_patchwork_separates_ground(rng):
+    pts, is_ground = ground_scene(rng)
+    mask = np.asarray(
+        estimate_ground(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                        PatchworkParams(sensor_height=1.732))
+    )
+    # recall: most true ground found
+    recall = mask[is_ground].mean()
+    # precision: few object points called ground
+    precision = is_ground[mask].mean() if mask.any() else 0.0
+    assert recall > 0.85, f"ground recall {recall:.2f}"
+    assert precision > 0.9, f"ground precision {precision:.2f}"
+
+
+def box_cluster(rng, center, n=300, size=0.6, zlo=-0.3, zhi=0.6):
+    return np.stack(
+        [
+            rng.uniform(center[0] - size, center[0] + size, n),
+            rng.uniform(center[1] - size, center[1] + size, n),
+            rng.uniform(zlo, zhi, n),
+        ],
+        1,
+    ).astype(np.float32)
+
+
+def test_cluster_separates_objects(rng):
+    prm = dyn.SSCParams()
+    a = box_cluster(rng, (6, 5))
+    b = box_cluster(rng, (-5, 10))
+    pts = jnp.asarray(np.concatenate([a, b]))
+    grid = dyn.encode_scan(pts, jnp.ones(len(pts), bool), prm)
+    grid = dyn.cluster_grid(grid, prm)
+    lab = np.asarray(grid.labels.reshape(-1))
+    pv = np.asarray(grid.pt_voxel)
+    la = np.unique(lab[pv[:300][pv[:300] >= 0]])
+    lb = np.unique(lab[pv[300:][pv[300:] >= 0]])
+    # each object is one component, and they differ
+    assert len(la) == 1 and len(lb) == 1
+    assert la[0] != lb[0]
+
+
+def test_pd_recognition(rng):
+    """A pedestrian-sized cluster is PD; a tall wall is not."""
+    prm = dyn.SSCParams(sensor_height=0.4)
+    ped = box_cluster(rng, (4, 3), size=0.3, zlo=-0.35, zhi=0.45)
+    wall = np.stack(
+        [rng.uniform(10, 18, 800), np.full(800, 10.0),
+         rng.uniform(-0.2, 5.0, 800)], 1
+    ).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([ped, wall]))
+    grid = dyn.cluster_grid(dyn.encode_scan(pts, jnp.ones(len(pts), bool),
+                                            prm), prm)
+    pd = np.asarray(dyn.recognize_pd(grid, prm).reshape(-1))
+    pv = np.asarray(grid.pt_voxel)
+    ped_pd = pd[pv[:300][pv[:300] >= 0]]
+    wall_pd = pd[pv[300:][pv[300:] >= 0]]
+    assert ped_pd.mean() > 0.9
+    assert wall_pd.mean() < 0.1
+
+
+def test_track_pd_flags_moving_object(rng):
+    """Static PD cluster overlaps its previous projection (kept); a moved
+    cluster does not (flagged dynamic)."""
+    prm = dyn.SSCParams(sensor_height=0.4)
+    static_obj = box_cluster(rng, (6, 3), size=0.3, zlo=-0.35, zhi=0.45)
+    moving_prev = box_cluster(rng, (10, -4), size=0.3, zlo=-0.35, zhi=0.45)
+    moving_next = box_cluster(rng, (14, -4), size=0.3, zlo=-0.35, zhi=0.45)
+
+    prev_pts = jnp.asarray(np.concatenate([static_obj, moving_prev]))
+    next_pts = jnp.asarray(np.concatenate([static_obj, moving_next]))
+    gprev = dyn.cluster_grid(
+        dyn.encode_scan(prev_pts, jnp.ones(len(prev_pts), bool), prm), prm
+    )
+    gnext = dyn.cluster_grid(
+        dyn.encode_scan(next_pts, jnp.ones(len(next_pts), bool), prm), prm
+    )
+    pd = dyn.recognize_pd(gnext, prm)
+    hd = np.asarray(
+        dyn.track_pd(gprev, se3.identity(jnp.float32), gnext, pd, prm)
+    ).reshape(-1)
+    pv = np.asarray(gnext.pt_voxel)
+    hd_static = hd[pv[:300][pv[:300] >= 0]]
+    hd_moving = hd[pv[300:][pv[300:] >= 0]]
+    assert hd_static.mean() < 0.1, "static object wrongly dynamic"
+    assert hd_moving.mean() > 0.9, "moved object not flagged"
+
+
+def test_dynamic_removal_end_to_end(rng):
+    prm = dyn.SSCParams(sensor_height=0.4)
+    ground = np.stack(
+        [rng.uniform(-20, 20, 2000), rng.uniform(-20, 20, 2000),
+         -0.4 + rng.normal(scale=0.01, size=2000)], 1
+    ).astype(np.float32)
+    walker_prev = box_cluster(rng, (8, 2), size=0.3, zlo=-0.35, zhi=0.45)
+    walker_next = box_cluster(rng, (11, 2), size=0.3, zlo=-0.35, zhi=0.45)
+
+    prev_pts = jnp.asarray(np.concatenate([ground, walker_prev]))
+    next_pts = jnp.asarray(np.concatenate([ground, walker_next]))
+    gm_prev = jnp.asarray(
+        np.concatenate([np.ones(2000, bool), np.zeros(300, bool)])
+    )
+    _, gprev = dyn.dynamic_removal_masks(
+        prev_pts, jnp.ones(len(prev_pts), bool), gm_prev, None,
+        se3.identity(jnp.float32), prm,
+    )
+    static, _ = dyn.dynamic_removal_masks(
+        next_pts, jnp.ones(len(next_pts), bool), gm_prev, gprev,
+        se3.identity(jnp.float32), prm,
+    )
+    static = np.asarray(static)
+    assert static[:2000].mean() > 0.99  # ground kept
+    assert static[2000:].mean() < 0.2  # moving object removed
