@@ -28,7 +28,7 @@ from ..map import voxel_hash
 from ..utils import se3, so3
 from ..core.measurement import plane_fit
 
-__all__ = ["ICPResult", "icp_point2point", "icp_point2plane", "fitness_score"]
+__all__ = ["ICPResult", "icp_point2point", "icp_point2plane", "icp_multiscale", "fitness_score"]
 
 
 class ICPResult(NamedTuple):
@@ -137,6 +137,36 @@ def icp_point2plane(
     pose, _ = jax.lax.scan(body, init_pose, None, length=iters)
     fit, n_in = fitness_score(m, se3.apply(pose, source), s_valid, max_corr)
     return ICPResult(pose, fit, n_in, jnp.isfinite(fit))
+
+
+def icp_multiscale(
+    source: jax.Array,
+    s_valid: jax.Array,
+    target: jax.Array,
+    t_valid: jax.Array,
+    init_pose: jax.Array,
+    voxels=(8.0, 2.0, 1.0),
+    iters=(8, 8, 12),
+    max_corr: float = 30.0,
+    welsch_sigma: float = 0.0,
+) -> ICPResult:
+    """Coarse-to-fine point-to-plane ICP.
+
+    The voxel-hash correspondence search bounds matches to ~1 voxel
+    radius; a coarse first level recovers the wide convergence basin the
+    reference gets from pcl::ICP's 30 m kd-tree correspondences
+    (Incremental_mapping.cpp:485 setMaxCorrespondenceDistance(30)).
+    """
+    pose = init_pose
+    res = None
+    for v, it in zip(voxels, iters):
+        res = icp_point2plane(
+            source, s_valid, target, t_valid, pose,
+            max_corr=min(max_corr, 2.5 * v), iters=it, voxel=v,
+            welsch_sigma=welsch_sigma,
+        )
+        pose = res.pose
+    return res
 
 
 def fitness_score(m, src_w, s_valid, max_range):
