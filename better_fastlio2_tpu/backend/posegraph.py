@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..utils import se3, so3
 
-__all__ = ["PoseGraph", "make_graph", "add_prior", "add_between", "optimize"]
+__all__ = ["PoseGraph", "make_graph", "add_prior", "add_between", "add_gps", "optimize"]
 
 
 class PoseGraph(NamedTuple):
@@ -58,10 +58,20 @@ class PoseGraph(NamedTuple):
     bw_mask: jax.Array  # (F,)
     n_bw: jax.Array  # ()
 
+    # GPS factors: unary position measurements (the reference declares
+    # addGPSFactor but leaves it commented out, laserMapping.cpp:689;
+    # implemented here per the MulRan config target)
+    gps_idx: jax.Array  # (G,) int32
+    gps_pos: jax.Array  # (G, 3) measured world position
+    gps_sqw: jax.Array  # (G, 3) sqrt information diag
+    gps_mask: jax.Array  # (G,)
+    n_gps: jax.Array  # ()
+
 
 def make_graph(max_poses: int, max_priors: int, max_between: int,
-               dtype=jnp.float32) -> PoseGraph:
+               max_gps: int = 0, dtype=jnp.float32) -> PoseGraph:
     ident = jnp.tile(se3.identity(dtype), (max_poses, 1))
+    mg = max(max_gps, 1)
     return PoseGraph(
         poses=ident,
         n_poses=jnp.zeros((), jnp.int32),
@@ -77,6 +87,25 @@ def make_graph(max_poses: int, max_priors: int, max_between: int,
         bw_robust=jnp.zeros(max_between, bool),
         bw_mask=jnp.zeros(max_between, bool),
         n_bw=jnp.zeros((), jnp.int32),
+        gps_idx=jnp.zeros(mg, jnp.int32),
+        gps_pos=jnp.zeros((mg, 3), dtype),
+        gps_sqw=jnp.zeros((mg, 3), dtype),
+        gps_mask=jnp.zeros(mg, bool),
+        n_gps=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add_gps(g: PoseGraph, idx, pos, sigma) -> PoseGraph:
+    """Unary GPS position factor on pose idx (3-dof translation)."""
+    k = g.n_gps
+    sq = jnp.full(3, 1.0, g.poses.dtype) / sigma
+    return g._replace(
+        gps_idx=g.gps_idx.at[k].set(idx, mode="drop"),
+        gps_pos=g.gps_pos.at[k].set(pos, mode="drop"),
+        gps_sqw=g.gps_sqw.at[k].set(sq, mode="drop"),
+        gps_mask=g.gps_mask.at[k].set(True, mode="drop"),
+        n_gps=jnp.minimum(k + 1, g.gps_idx.shape[0]),
     )
 
 
@@ -216,6 +245,9 @@ def optimize(
         )
         w_b = (g.bw_sqw**2) * (w_rob * g.bw_mask)[:, None]  # (F, 6) info diag
         w_p = (g.prior_sqw**2) * g.prior_mask[:, None]
+        # GPS residuals: e = t_i - t_gps, J = [I3 | 0] in the 6-dof tangent
+        e_g = se3.trans(poses[g.gps_idx]) - g.gps_pos
+        w_g = (g.gps_sqw**2) * g.gps_mask[:, None]  # (G, 3)
 
         # rhs: b = -(J^T W e), assembled by scatter-add
         def scatter_JTWe():
@@ -226,6 +258,7 @@ def optimize(
             out = out.at[g.bw_i].add(contrib_i, mode="drop")
             out = out.at[g.bw_j].add(contrib_j, mode="drop")
             out = out.at[g.prior_idx].add(contrib_p, mode="drop")
+            out = out.at[g.gps_idx, 0:3].add(w_g * e_g, mode="drop")
             return out
 
         b = -scatter_JTWe()
@@ -249,6 +282,9 @@ def optimize(
             out = out.at[g.prior_idx].add(
                 jnp.einsum("fab,fa->fb", Jp, w_p * Jvp), mode="drop"
             )
+            out = out.at[g.gps_idx, 0:3].add(
+                w_g * v[g.gps_idx, 0:3], mode="drop"
+            )
             return out + damping * v
 
         # Jacobi preconditioner: diagonal of H
@@ -260,6 +296,7 @@ def optimize(
             out = out.at[g.bw_i].add(di, mode="drop")
             out = out.at[g.bw_j].add(dj, mode="drop")
             out = out.at[g.prior_idx].add(dp, mode="drop")
+            out = out.at[g.gps_idx, 0:3].add(w_g, mode="drop")
             return out + damping
 
         Minv = jnp.where(active, 1.0 / jnp.maximum(diag_H(), 1e-12), 0.0)

@@ -75,9 +75,9 @@ class ShapesConfig:
     n_raw: int = 1 << 17  # max raw points per scan
     n_ds: int = 1 << 15  # max downsampled points per scan
     n_imu: int = 64  # max IMU samples per scan
-    map_capacity_log2: int = 19
+    map_capacity_log2: int = 20  # load factor <=0.3 keeps probe chains ~1
     map_bucket: int = 8
-    map_max_probe: int = 16
+    map_max_probe: int = 6
     knn_chunk: int = 8192
 
 

@@ -243,15 +243,18 @@ def update_iterated(
         HTh = h_x.T @ h  # (12,)
         # (H^T H + (P/R)^-1)^-1 via two SPD solves: LU-based jnp.linalg.inv
         # is ~200x slower than cholesky+solve on TPU for these tiny sizes.
+        # Symmetrise P first — f32 transport products drift asymmetric.
+        P = 0.5 * (P + P.T)
         eyeP = jnp.eye(ERR_DIM, dtype=dtype)
         S_inv = jax.scipy.linalg.cho_solve(
-            (jnp.linalg.cholesky(P / R), True), eyeP
+            (jnp.linalg.cholesky(P / R + 1e-9 * eyeP), True), eyeP
         )
         A = S_inv.at[:12, :12].add(HTH)
         P_inv = jnp.linalg.solve(A, eyeP)
-        K_h = P_inv[:, :12] @ HTh
+        P_inv12 = P_inv[:, :12]  # (23, 12)
+        K_h = P_inv12 @ HTh
         K_x = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :12].set(
-            P_inv[:, :12] @ HTH
+            P_inv12 @ HTH
         )
         dx_ = K_h + (K_x - eyeN) @ dx_new
 
@@ -272,6 +275,8 @@ def update_iterated(
             "done": done,
             "P": P,
             "K_x": K_x,
+            "P_inv12": P_inv12,
+            "HTH": HTH,
             "dx_": dx_,
         }
 
@@ -284,16 +289,28 @@ def update_iterated(
         "done": jnp.array(False),
         "P": P_prop,
         "K_x": jnp.zeros((ERR_DIM, ERR_DIM), dtype),
+        "P_inv12": jnp.zeros((ERR_DIM, 12), dtype),
+        "HTH": jnp.zeros((12, 12), dtype),
         "dx_": jnp.zeros(ERR_DIM, dtype),
     }
     c = jax.lax.while_loop(cond, body, c0)
 
-    # Final covariance update (esekfom.hpp:1841-1931).  With T built from
-    # the final increment dx_, the reference's row/column transports of
-    # L, P and K_x collapse to:  P <- T (P - K_x[:, :12] P[:12, :]) T^T.
-    x_fin, P_last, K_x_last, dx_last = c["x"], c["P"], c["K_x"], c["dx_"]
-    T_fin, _ = _dx_transport(dx_last, x_fin, x_prop)
-    P_post = T_fin @ (P_last - K_x_last[:, :12] @ P_last[:12, :]) @ T_fin.T
+    # Final covariance update.  The reference computes P <- L - K_x P
+    # (esekfom.hpp:1841-1931) in f64; in f32 that form catastrophically
+    # cancels (prior/posterior variance ratios reach ~1e6) and P drifts
+    # indefinite within a few scans.  We use the algebraically equivalent
+    # Joseph form, PSD by construction:
+    #   P <- (I - K H) P (I - K H)^T + K R K^T,
+    # with K R K^T = R * P_inv12 HTH P_inv12^T (R scalar), then the
+    # manifold transport T built from the final increment dx_.
+    x_fin = c["x"]
+    P_last, K_x_last = c["P"], c["K_x"]
+    T_fin, _ = _dx_transport(c["dx_"], x_fin, x_prop)
+    IKH = jnp.eye(ERR_DIM, dtype=dtype) - K_x_last
+    KRK = R * (c["P_inv12"] @ c["HTH"] @ c["P_inv12"].T)
+    P_joseph = IKH @ P_last @ IKH.T + KRK
+    P_post = T_fin @ P_joseph @ T_fin.T
+    P_post = 0.5 * (P_post + P_post.T)
 
     info = {"iters": c["i"], "t": c["t"]}
     return x_fin, P_post, c["aux"], info

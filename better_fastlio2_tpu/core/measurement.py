@@ -28,6 +28,52 @@ PLANE_INLIER_THRESH = 0.1  # esti_plane threshold (laserMapping.cpp:1922)
 ROBUST_S_GATE = 0.9  # accept if s > 0.9 (laserMapping.cpp:1930)
 
 
+def _sym3_smallest_eigvec(C: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of batched symmetric
+    3x3 matrices, closed form (Cardano's trigonometric eigenvalues +
+    cross-product eigenvector extraction).  Branch-free; degenerate
+    inputs return an arbitrary unit vector (callers gate on residuals).
+    """
+    dtype = C.dtype
+    a00, a11, a22 = C[..., 0, 0], C[..., 1, 1], C[..., 2, 2]
+    a01, a02, a12 = C[..., 0, 1], C[..., 0, 2], C[..., 1, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    qm = (a00 + a11 + a22) / 3.0
+    p2 = (
+        (a00 - qm) ** 2 + (a11 - qm) ** 2 + (a22 - qm) ** 2 + 2.0 * p1
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    Bm = (C - qm[..., None, None] * jnp.eye(3, dtype=dtype)) / p[..., None, None]
+    detB = (
+        Bm[..., 0, 0] * (Bm[..., 1, 1] * Bm[..., 2, 2] - Bm[..., 1, 2] ** 2)
+        - Bm[..., 0, 1]
+        * (Bm[..., 0, 1] * Bm[..., 2, 2] - Bm[..., 1, 2] * Bm[..., 0, 2])
+        + Bm[..., 0, 2]
+        * (Bm[..., 0, 1] * Bm[..., 1, 2] - Bm[..., 1, 1] * Bm[..., 0, 2])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = qm + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # eigenvector: null space of (C - lam I) via the largest row cross
+    M = C - lam_min[..., None, None] * jnp.eye(3, dtype=dtype)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where(
+        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+        c01,
+        jnp.where((n02 >= n12)[..., None], c02, c12),
+    )
+    nrm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    fallback = jnp.zeros_like(best).at[..., 2].set(1.0)
+    return jnp.where(nrm > 1e-20, best / jnp.maximum(nrm, 1e-20), fallback)
+
+
 def plane_fit(
     neighbors: jax.Array, valid: jax.Array, thresh: float = PLANE_INLIER_THRESH
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -51,11 +97,12 @@ def plane_fit(
     # the LSQ plane passes through the centroid with normal = smallest
     # eigenvector of the scatter matrix — identical plane, conditioned on
     # the point spread (~ leaf size) instead of the world position.
+    # The eigenvector comes from a closed-form 3x3 symmetric solve
+    # (Cardano + cross products) — pure VPU arithmetic, no iterative eigh.
     c = jnp.mean(A, axis=1, keepdims=True)
     q = A - c
     C = jnp.einsum("nki,nkj->nij", q, q)
-    w, V = jnp.linalg.eigh(C)  # ascending; normal = V[:, :, 0]
-    n = V[..., 0]
+    n = _sym3_smallest_eigvec(C)
     d = -jnp.einsum("ni,ni->n", n, c[:, 0, :])
     # reference sign convention: d > 0 (pca_result(3) = 1/|nv|)
     sgn = jnp.where(d < 0, -1.0, 1.0)

@@ -154,8 +154,10 @@ def estimate_ground(
         mean = jnp.sum(P * w, axis=1) / cnt
         q = (P - mean[:, None, :]) * w
         C = jnp.einsum("pki,pkj->pij", q, q) / cnt[..., None]
-        evals, evecs = jnp.linalg.eigh(C)
-        normal = evecs[..., 0]
+        from ..core.measurement import _sym3_smallest_eigvec
+
+        normal = _sym3_smallest_eigvec(C)
+        evals = jnp.sort(jnp.linalg.eigvalsh(C), axis=-1)
         # orient upward like the reference's SVD convention is arbitrary;
         # uprightness uses |n_z| so sign is irrelevant, but elevation uses
         # mean z, not the normal

@@ -201,7 +201,12 @@ class LIOPipeline:
 
     MAX_INI_COUNT = 10  # IMU_Processing.hpp:4
 
-    def __init__(self, cfg: LIOConfig):
+    def __init__(self, cfg: LIOConfig, pipelined: bool = False):
+        """pipelined=True overlaps the device->host pose readback with the
+        next scan's compute: process_scan then returns the PREVIOUS scan's
+        result (one-scan latency on the odometry stream, as a ROS
+        subscriber would see anyway).  The readback round trip costs
+        ~30 ms on the remote-TPU path, so hiding it matters."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self._step = make_step_fn(cfg)
@@ -212,6 +217,8 @@ class LIOPipeline:
         self.ls: LIOState | None = None
         self.last_scan_end_abs: float | None = None  # f64 host-side clock
         self.trajectory: list[np.ndarray] = []
+        self.pipelined = pipelined
+        self._pending_info = None
 
     # -- init ---------------------------------------------------------------
     def _make_ls(self, x: State, P) -> LIOState:
@@ -331,7 +338,27 @@ class LIOPipeline:
             jnp.asarray(self.acc_norm, self.dtype),
         )
         self.last_scan_end_abs = scan_beg_abs + scan_end_t
+        if self.pipelined:
+            prev, self._pending_info = self._pending_info, info_vec
+            if prev is None:
+                return None
+            info_vec = prev
         v = np.asarray(info_vec)  # single flat readback
+        out = {
+            "pos": v[0:3],
+            "quat": v[3:7],
+            "n_ds": int(v[7]),
+            "map_voxels": int(v[8]),
+        }
+        self.trajectory.append(v[0:7].copy())
+        return out
+
+    def flush(self):
+        """Drain the pipelined readback (call after the last scan)."""
+        if self._pending_info is None:
+            return None
+        v = np.asarray(self._pending_info)
+        self._pending_info = None
         out = {
             "pos": v[0:3],
             "quat": v[3:7],

@@ -145,3 +145,21 @@ def test_between_jacobians_match_autodiff():
                                atol=0.05)
     np.testing.assert_allclose(np.asarray(J[:, 6:])[3:], np.asarray(Jj[0])[3:],
                                atol=0.05)
+
+
+def test_gps_factor_pins_translation():
+    """GPS factors pull drifted positions back without touching rotation."""
+    g = pg.make_graph(16, 2, 32, max_gps=16, dtype=jnp.float64)
+    n = 8
+    for k in range(n):
+        g = pg.set_pose(g, k, mk_pose(0.0, [k * 1.0 + 0.3, 0.2, 0]))
+        if k:
+            g = pg.add_between(
+                g, k - 1, k, mk_pose(0.0, [1.0, 0, 0]), 1e-1, 1e-3
+            )
+    for k in range(n):
+        g = pg.add_gps(g, k, jnp.asarray([k * 1.0, 0.0, 0.0]), 1e-2)
+    g2 = pg.optimize(g, iters=6, cg_iters=40)
+    pos = np.asarray(se3.trans(g2.poses[:n]))
+    want = np.stack([np.arange(n), np.zeros(n), np.zeros(n)], 1)
+    np.testing.assert_allclose(pos, want, atol=0.02)
