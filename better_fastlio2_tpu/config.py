@@ -78,7 +78,8 @@ class ShapesConfig:
     map_capacity_log2: int = 20  # load factor <=0.3 keeps probe chains ~1
     map_bucket: int = 8
     map_max_probe: int = 6
-    knn_chunk: int = 8192
+    knn_chunk: int = 32768
+    knn_neighbors: int = 27  # 7/19/27 voxel shell for 5-NN candidates
 
 
 @dataclass

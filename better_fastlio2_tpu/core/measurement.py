@@ -134,6 +134,7 @@ def make_measure_fn(
     pts_valid: jax.Array,
     extrinsic_est: bool = False,
     max_probe: int = 16,
+    n_neighbors: int = 27,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -149,7 +150,8 @@ def make_measure_fn(
 
         def do_search(_):
             nb, d2, ok = voxel_hash.knn(
-                m, p_world, k=NUM_MATCH_POINTS, max_probe=max_probe
+                m, p_world, k=NUM_MATCH_POINTS, max_probe=max_probe,
+                n_neighbors=n_neighbors,
             )
             nn_ok = (
                 jnp.all(ok, axis=-1)

@@ -116,7 +116,7 @@ def sharded_update_step(mesh: Mesh, cfg=None, axis: str = "dp"):
         return dx, jnp.sum(w)
 
     mspec = voxel_hash.VoxelHashMap(
-        coords=P(), state=P(), count=P(), points=P(), voxel_size=P()
+        key=P(), coords=P(), state=P(), count=P(), points=P(), voxel_size=P()
     )
     xspec = State(*([P()] * 8))
     return jax.shard_map(

@@ -135,6 +135,7 @@ def make_step_fn(cfg: LIOConfig):
             ds_valid,
             extrinsic_est=mp.extrinsic_est_en,
             max_probe=sh.map_max_probe,
+            n_neighbors=getattr(sh, "knn_neighbors", 27),
         )
 
         def do_update(_):
@@ -321,6 +322,17 @@ class LIOPipeline:
             acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
             mask=jnp.asarray(Mk),
         )
+
+        # periodic map compaction (recontructIKdTree analog,
+        # laserMapping.cpp:612-669): rebuild when the tombstone fraction
+        # left by FoV crops grows, at kd_step cadence
+        self._scan_count = getattr(self, "_scan_count", 0) + 1
+        kd = self.cfg.ikdtree
+        if kd.recontruct_kdtree and self._scan_count % max(kd.kd_step, 1) == 0:
+            from ..map.voxel_hash import rebuild, tombstone_fraction
+
+            if float(tombstone_fraction(self.ls.map)) > 0.1:
+                self.ls = self.ls._replace(map=rebuild(self.ls.map))
 
         last_end_rel = (
             (self.last_scan_end_abs - scan_beg_abs)

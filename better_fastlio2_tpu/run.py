@@ -1,0 +1,220 @@
+"""Command-line runners — the analog of the reference's four executables.
+
+The reference builds fastlio_sam_mapping, multi_session, online_relo and
+object_update (reference: CMakeLists.txt:77-87, launched via
+launch/*.launch with per-dataset YAML).  Here they are subcommands:
+
+    python -m better_fastlio2_tpu.run mapping  --dataset kitti:<dir> \
+        [--config cfg.yaml] [--output session_dir] [--loop]
+    python -m better_fastlio2_tpu.run mapping  --dataset synthetic \
+        [--duration 8] ...
+    python -m better_fastlio2_tpu.run multi_session --central <dir> \
+        --query <dir> --output <dir>
+    python -m better_fastlio2_tpu.run online_relo --prior <dir> \
+        --dataset kitti:<dir>
+    python -m better_fastlio2_tpu.run object_update --central <dir> \
+        --query <dir> --output <dir>
+
+Outputs keep the reference session-directory contract (SURVEY.md §1) and
+a fast_lio_time_log.csv-compatible timing dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _groups_from_dataset(spec: str, args):
+    if spec == "synthetic":
+        from .io.synthetic import Trajectory, make_lio_sequence
+
+        return make_lio_sequence(
+            duration=args.duration, n_points=args.n_points, seed=args.seed,
+            traj=Trajectory(t_still=1.0, speed=2.0),
+        )
+    kind, _, path = spec.partition(":")
+    if kind == "kitti":
+        from .io.kitti import KittiRawSequence
+
+        return KittiRawSequence(path).groups(
+            blind=args.blind, point_filter_num=args.point_filter_num
+        )
+    if kind == "mulran":
+        from .io.mulran import MulranSequence
+
+        return MulranSequence(path).groups(
+            blind=args.blind, point_filter_num=args.point_filter_num
+        )
+    if kind == "nclt":
+        from .io.nclt import NcltSequence
+
+        return NcltSequence(path).groups(
+            blind=args.blind, point_filter_num=args.point_filter_num
+        )
+    raise SystemExit(f"unknown dataset spec: {spec}")
+
+
+def cmd_mapping(args):
+    from .config import LIOConfig, load_yaml
+    from .pipeline.slam import SLAMPipeline
+    from .utils.timing import ScanTimer
+
+    cfg = load_yaml(args.config) if args.config else LIOConfig()
+    cfg.loop.enable = bool(args.loop)
+    pipe = SLAMPipeline(cfg)
+    timer = ScanTimer()
+    n = 0
+    for g in _groups_from_dataset(args.dataset, args):
+        timer.begin_scan(g["scan_beg_abs"])
+        with timer.stage("total_scan"):
+            out = pipe.process_scan(
+                g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+                g["scan_beg_abs"], g["scan_end_t"],
+            )
+        timer.count("scan_points", len(g["pts"]))
+        timer.end_scan()
+        n += 1
+        if out is not None and n % 50 == 0:
+            print(
+                f"scan {n}: pos={np.round(out['pos'], 2)} "
+                f"kfs={out['n_keyframes']} loops={out['n_loops']}",
+                file=sys.stderr,
+            )
+        if args.max_scans and n >= args.max_scans:
+            break
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        pipe.save_session(args.output)
+        timer.write_csv(os.path.join(args.output, "fast_lio_time_log.csv"))
+        print(f"session written to {args.output}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "scans": n,
+                "keyframes": len(pipe.keyframes),
+                "loops": len(pipe.loop_pairs),
+                "scans_per_sec": round(timer.scans_per_sec(skip=8), 2),
+            }
+        )
+    )
+
+
+def cmd_multi_session(args):
+    from .apps.multi_session import MultiSessionConfig, MultiSessionMerger
+
+    m = MultiSessionMerger(args.central, args.query, MultiSessionConfig())
+    stats = m.run()
+    m.write_outputs(args.output)
+    print(json.dumps(stats))
+
+
+def cmd_online_relo(args):
+    from .apps.online_relo import OnlineRelocalizer, ReloConfig
+    from .config import LIOConfig, load_yaml
+    from .pipeline.lio import LIOPipeline
+
+    cfg = load_yaml(args.config) if args.config else LIOConfig()
+    lio = LIOPipeline(cfg)
+    relo = OnlineRelocalizer(args.prior, ReloConfig())
+    results = []
+    for g in _groups_from_dataset(args.dataset, args):
+        out = lio.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is None:
+            continue
+        odom = np.concatenate([out["quat"], out["pos"]]).astype(np.float64)
+        r = relo.process(g["pts"], odom)
+        if r is not None:
+            results.append(r)
+        if args.max_scans and len(results) >= args.max_scans:
+            break
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "relo_pose.txt"), "w") as f:
+            for r in results:
+                f.write(" ".join(f"{v:.6f}" for v in r["pose"]) + "\n")
+    modes = [r["mode"] for r in results]
+    print(
+        json.dumps(
+            {
+                "frames": len(results),
+                "relo_frames": modes.count("relo"),
+                "lio_frames": modes.count("lio"),
+                "initialized": relo.initialized,
+            }
+        )
+    )
+
+
+def cmd_object_update(args):
+    from .apps.object_update import ObjectUpdateConfig, ObjectUpdater
+
+    upd = ObjectUpdater(args.central, args.query, ObjectUpdateConfig())
+    res = upd.run()
+    upd.write_outputs(res, args.output)
+    print(
+        json.dumps(
+            {
+                k: (len(v) if isinstance(v, list) else v)
+                for k, v in res.items()
+            }
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="better_fastlio2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    mp = sub.add_parser("mapping", help="LIO-SAM mapping run")
+    mp.add_argument("--dataset", required=True,
+                    help="synthetic | kitti:<dir> | mulran:<dir> | nclt:<dir>")
+    mp.add_argument("--config", default=None)
+    mp.add_argument("--output", default=None)
+    mp.add_argument("--loop", action="store_true")
+    mp.add_argument("--max-scans", type=int, default=0)
+    mp.add_argument("--duration", type=float, default=8.0)
+    mp.add_argument("--n-points", type=int, default=8000)
+    mp.add_argument("--seed", type=int, default=0)
+    mp.add_argument("--blind", type=float, default=1.0)
+    mp.add_argument("--point-filter-num", type=int, default=1)
+    mp.set_defaults(fn=cmd_mapping)
+
+    ms = sub.add_parser("multi_session", help="two-session merge")
+    ms.add_argument("--central", required=True)
+    ms.add_argument("--query", required=True)
+    ms.add_argument("--output", required=True)
+    ms.set_defaults(fn=cmd_multi_session)
+
+    orp = sub.add_parser("online_relo", help="online relocalization")
+    orp.add_argument("--prior", required=True)
+    orp.add_argument("--dataset", required=True)
+    orp.add_argument("--config", default=None)
+    orp.add_argument("--output", default=None)
+    orp.add_argument("--max-scans", type=int, default=0)
+    orp.add_argument("--duration", type=float, default=8.0)
+    orp.add_argument("--n-points", type=int, default=8000)
+    orp.add_argument("--seed", type=int, default=0)
+    orp.add_argument("--blind", type=float, default=1.0)
+    orp.add_argument("--point-filter-num", type=int, default=1)
+    orp.set_defaults(fn=cmd_online_relo)
+
+    ou = sub.add_parser("object_update", help="object-level map diff")
+    ou.add_argument("--central", required=True)
+    ou.add_argument("--query", required=True)
+    ou.add_argument("--output", required=True)
+    ou.set_defaults(fn=cmd_object_update)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
