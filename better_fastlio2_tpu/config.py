@@ -90,6 +90,10 @@ class LIOConfig:
     loop: LoopConfig = field(default_factory=LoopConfig)
     shapes: ShapesConfig = field(default_factory=ShapesConfig)
     dtype: str = "float32"
+    # live dynamic-object removal (the reference shipped this commented
+    # out at laserMapping.cpp:2271-2307; here a first-class flag)
+    dynamic_removal: bool = False
+    sensor_height: float = 0.4  # segment/sensor_height param
 
     @classmethod
     def from_dict(cls, d: dict) -> "LIOConfig":

@@ -49,7 +49,11 @@ class SLAMPipeline:
     """LIOPipeline + pose-graph backend, mirroring the mapping node."""
 
     def __init__(self, cfg: LIOConfig, max_keyframes: int = 2048,
-                 loop_every: int = 5, sc_params: sc.SCParams | None = None):
+                 loop_every: int = 5, sc_params: sc.SCParams | None = None,
+                 async_backend: bool = False):
+        """async_backend=True dispatches pose-graph optimization without
+        blocking the front end (the reference's 1 Hz loop thread, P4);
+        corrections are applied on a later scan when the result is ready."""
         self.cfg = cfg
         self.lio = LIOPipeline(cfg)
         self.sc_params = sc_params or sc.SCParams()
@@ -64,6 +68,11 @@ class SLAMPipeline:
             dtype=jnp.dtype(cfg.dtype),
         )
         self._graph_dirty = False
+        self._async = None
+        if async_backend:
+            from ..parallel.distributed import AsyncBackend
+
+            self._async = AsyncBackend()
 
     # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
     def _is_keyframe(self, pose7: np.ndarray) -> bool:
@@ -81,12 +90,42 @@ class SLAMPipeline:
 
     def process_scan(self, pts, pt_t, imu_acc, imu_gyr, imu_t,
                      scan_beg_abs, scan_end_t):
+        # optional live dynamic-object removal (the reference shipped this
+        # integration commented out, laserMapping.cpp:2271-2307; here it is
+        # the config flag SURVEY §7.2/M5 asks for: segment ground, cluster
+        # the rest, drop clusters tracked as moving vs the previous scan)
+        if getattr(self.cfg, "dynamic_removal", False):
+            pts, pt_t = self._remove_dynamic(pts, pt_t)
+
         out = self.lio.process_scan(
             pts, pt_t, imu_acc, imu_gyr, imu_t, scan_beg_abs, scan_end_t
         )
         if out is None:
             return None
+        if np.any(~np.isfinite(out["pos"])) or np.any(
+            ~np.isfinite(out["quat"])
+        ):
+            # check_safe_update analog (esekfom.hpp:1991-2008 — defined but
+            # never wired in the reference): refuse a non-finite estimate,
+            # roll the filter back to the last keyframe pose
+            if self.keyframes:
+                last = self.keyframes[-1].pose
+                ls = self.lio.ls
+                self.lio.ls = ls._replace(
+                    x=ls.x._replace(
+                        pos=jnp.asarray(last[4:7], jnp.dtype(self.cfg.dtype)),
+                        rot=jnp.asarray(last[0:4], jnp.dtype(self.cfg.dtype)),
+                    )
+                )
+            return None
         pose7 = np.concatenate([out["quat"], out["pos"]]).astype(np.float64)
+
+        # harvest a finished async optimization (loop-thread handoff analog)
+        if self._async is not None:
+            poses = self._async.poll()
+            if poses is not None:
+                self._apply_correction(np.asarray(poses, np.float64))
+
         if self._is_keyframe(pose7):
             self._add_keyframe(pose7, pts, scan_beg_abs + scan_end_t)
             if (
@@ -97,10 +136,44 @@ class SLAMPipeline:
                 self._kf_count_at_last_loop = len(self.keyframes)
                 closed = self._try_loop_closure()
                 if closed:
-                    self._optimize_and_correct()
+                    if self._async is not None:
+                        self._async.submit(self.graph)
+                    else:
+                        self._optimize_and_correct()
         out["n_keyframes"] = len(self.keyframes)
         out["n_loops"] = len(self.loop_pairs)
         return out
+
+    # -- live dynamic removal (config-gated) --------------------------------
+    def _remove_dynamic(self, pts, pt_t):
+        from ..perception import dynamic as dyn
+        from ..perception.patchwork import PatchworkParams, estimate_ground
+
+        prm = getattr(self, "_ssc_params", None)
+        if prm is None:
+            h = getattr(self.cfg, "sensor_height", 0.4)
+            self._ssc_params = dyn.SSCParams(sensor_height=h)
+            self._pw_params = PatchworkParams(sensor_height=h)
+            self._prev_grid = None
+            prm = self._ssc_params
+        p = jnp.asarray(pts, jnp.float32)
+        valid = jnp.ones(len(pts), bool)
+        gm = estimate_ground(p, valid, self._pw_params)
+        # relative pose prev<-cur approximated by the last inter-scan
+        # motion (constant velocity); the 27-neighbourhood overlap test
+        # absorbs the residual error at scan rate
+        traj = self.lio.trajectory
+        rel = se3.identity(jnp.float32)
+        if len(traj) >= 2:
+            p_prev = jnp.asarray(traj[-2], jnp.float32)
+            p_cur = jnp.asarray(traj[-1], jnp.float32)
+            rel = se3.between(p_cur, p_prev).astype(jnp.float32)
+        static, grid = dyn.dynamic_removal_masks(
+            p, valid, gm, self._prev_grid, rel, prm
+        )
+        self._prev_grid = grid
+        keep = np.asarray(static)
+        return pts[keep], pt_t[keep]
 
     # -- keyframe + odom factor (addOdomFactor, :550-582) ------------------
     def _add_keyframe(self, pose7, pts, t_abs):
@@ -231,17 +304,48 @@ class SLAMPipeline:
     # -- optimize + correct (saveKeyFramesAndFactor/correctPoses) ----------
     def _optimize_and_correct(self):
         self.graph = pg.optimize(self.graph, iters=6, cg_iters=50)
-        poses = np.asarray(self.graph.poses[: len(self.keyframes)],
-                           np.float64)
-        for k, kf in enumerate(self.keyframes):
-            kf.pose = poses[k]
-        # feed the corrected pose back into the filter (kf.change_x
-        # semantics, laserMapping.cpp:744-754): replace pos+rot only
-        latest = poses[-1]
+        self._apply_correction(
+            np.asarray(self.graph.poses, np.float64),
+            n=len(self.keyframes),
+        )
+
+    def _apply_correction(self, poses: np.ndarray, n: int | None = None):
+        """correctPoses (laserMapping.cpp:769-805) + filter feedback
+        (kf.change_x, :744-754).  With the async backend the result may be
+        stale — keyframes created after the snapshot (and the live filter
+        pose) are shifted by the last optimized keyframe's correction."""
+        n = min(n if n is not None else len(self.keyframes),
+                len(self.keyframes))
+        if n == 0:
+            return
+        old_last = jnp.asarray(self.keyframes[n - 1].pose)
+        new_last = jnp.asarray(poses[n - 1])
+        delta = se3.compose(new_last, se3.inverse(old_last))
+        for k in range(n):
+            self.keyframes[k].pose = poses[k]
+        for kf in self.keyframes[n:]:
+            kf.pose = np.asarray(
+                se3.compose(delta, jnp.asarray(kf.pose)), np.float64
+            )
+        for k in range(n, len(self.keyframes)):
+            self.graph = pg.set_pose(
+                self.graph, k,
+                jnp.asarray(self.keyframes[k].pose, jnp.dtype(self.cfg.dtype)),
+            )
+        # refresh optimized poses into the graph values for nodes [0, n)
+        for k in range(n):
+            self.graph = pg.set_pose(
+                self.graph, k, jnp.asarray(poses[k], jnp.dtype(self.cfg.dtype))
+            )
+        # live filter pose: apply the same drift correction
         ls = self.lio.ls
+        cur = jnp.concatenate(
+            [ls.x.rot.astype(jnp.float64), ls.x.pos.astype(jnp.float64)]
+        )
+        corrected = np.asarray(se3.compose(delta, cur))
         x = ls.x._replace(
-            pos=jnp.asarray(latest[4:7], jnp.dtype(self.cfg.dtype)),
-            rot=jnp.asarray(latest[0:4], jnp.dtype(self.cfg.dtype)),
+            pos=jnp.asarray(corrected[4:7], jnp.dtype(self.cfg.dtype)),
+            rot=jnp.asarray(corrected[0:4], jnp.dtype(self.cfg.dtype)),
         )
         self.lio.ls = ls._replace(x=x)
 

@@ -66,6 +66,8 @@ def cmd_mapping(args):
 
     cfg = load_yaml(args.config) if args.config else LIOConfig()
     cfg.loop.enable = bool(args.loop)
+    cfg.dynamic_removal = bool(getattr(args, 'dynamic', False))
+    cfg.sensor_height = getattr(args, 'sensor_height', 0.4)
     pipe = SLAMPipeline(cfg)
     timer = ScanTimer()
     n = 0
@@ -179,6 +181,9 @@ def main(argv=None):
     mp.add_argument("--config", default=None)
     mp.add_argument("--output", default=None)
     mp.add_argument("--loop", action="store_true")
+    mp.add_argument("--dynamic", action="store_true",
+                    help="live dynamic-object removal (SCV-OD)")
+    mp.add_argument("--sensor-height", type=float, default=0.4)
     mp.add_argument("--max-scans", type=int, default=0)
     mp.add_argument("--duration", type=float, default=8.0)
     mp.add_argument("--n-points", type=int, default=8000)

@@ -127,3 +127,30 @@ def test_keyframe_gating():
     assert not pipe._is_keyframe(yaw_pose(0.05, [0.5, 0, 0]))
     assert pipe._is_keyframe(yaw_pose(0.0, [1.5, 0, 0]))  # dist gate
     assert pipe._is_keyframe(yaw_pose(0.3, [0.1, 0, 0]))  # angle gate
+
+
+def test_dynamic_removal_flag_runs(rng):
+    """SLAM pipeline with dynamic_removal enabled processes scans and
+    still tracks (smoke-level: the flag path executes end to end)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+
+    cfg = cfg_small()
+    cfg.dynamic_removal = True
+    cfg.sensor_height = 1.5
+    cfg.loop.enable = False
+    pipe = SLAMPipeline(cfg, max_keyframes=32)
+    groups = make_lio_sequence(duration=1.6, n_points=3000, seed=9,
+                               traj=Trajectory(t_still=1e9))
+    last = None
+    for g in groups:
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is not None:
+            last = out
+    assert last is not None
+    drift = np.linalg.norm(last["pos"] - (g["gt_pos"] - [0, 0, 1.5]))
+    assert drift < 0.2, drift
