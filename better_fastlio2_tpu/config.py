@@ -76,7 +76,7 @@ class ShapesConfig:
     n_ds: int = 1 << 15  # max downsampled points per scan
     n_imu: int = 64  # max IMU samples per scan
     map_capacity_log2: int = 20  # load factor <=0.3 keeps probe chains ~1
-    map_bucket: int = 8
+    map_bucket: int = 4  # reference steady state is ~1 pt/voxel (need-add)
     map_max_probe: int = 6
     knn_chunk: int = 32768
     knn_neighbors: int = 27  # 7/19/27 voxel shell for 5-NN candidates

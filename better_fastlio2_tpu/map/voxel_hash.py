@@ -341,6 +341,111 @@ def knn(
     )
 
 
+@partial(jax.jit, static_argnames=("k", "chunk", "n_neighbors"))
+def knn_sortjoin(
+    m: VoxelHashMap,
+    queries: jax.Array,
+    k: int = 5,
+    chunk: int = 32768,
+    n_neighbors: int = 27,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """kNN with slot lookup by sort-merge join instead of hash probing.
+
+    Probing costs one random gather per (candidate, probe-round); on this
+    TPU random gathers are per-element bound, so the probe loop dominates
+    kNN.  This variant finds slots with NO probing:
+
+      1. all live slot keys are sorted once (key, slot) — lax.sort moves
+         values along with keys, no gathers;
+      2. query-neighborhood keys are appended and the union is sorted;
+      3. a max-carry associative scan propagates each live slot id
+         forward to the equal-keyed query entries (merge join);
+      4. one final sort by original position restores query order.
+
+    Sorts and scans are TPU-native; only the candidate-points gather
+    remains random.  Same results as `knn` (both search the same
+    neighborhood).
+    """
+    N = queries.shape[0]
+    B = m.bucket
+    C = m.capacity
+    dtype = m.points.dtype
+    BIG = jnp.asarray(1e17, dtype)
+    offs = _neighbor_offsets(n_neighbors)
+    NB = offs.shape[0]
+
+    # live keys, invalid slots pushed to the sort tail
+    KEY_PAD = jnp.int32(2147483647)
+    live = (m.key & _LIVE_BIT) != 0
+    map_keys = jnp.where(live, m.key, KEY_PAD)
+    map_slots = jnp.arange(C, dtype=jnp.int32)
+
+    def one_chunk(q):
+        c = q.shape[0]
+        ijk = _voxel_of(q, m.voxel_size)
+        nb = ijk[:, None, :] + offs[None, :, :]
+        q_keys = _pack(nb.reshape(-1, 3))  # (c*NB,)
+        nq = q_keys.shape[0]
+
+        # union sort: map entries carry their slot id, queries carry -1;
+        # is_query=0 sorts map entries before equal-keyed queries
+        keys = jnp.concatenate([map_keys, q_keys])
+        isq = jnp.concatenate(
+            [jnp.zeros(C, jnp.int32), jnp.ones(nq, jnp.int32)]
+        )
+        payload = jnp.concatenate(
+            [map_slots, jnp.arange(nq, dtype=jnp.int32)]
+        )
+        skeys, sisq, spay = jax.lax.sort(
+            (keys, isq, payload), num_keys=2
+        )
+
+        # carry (key, slot) of the most recent map entry with a
+        # last-valid-wins associative combine (int64-free)
+        elem_key = jnp.where(sisq == 0, skeys, jnp.int32(-1))
+        elem_slot = jnp.where(sisq == 0, spay, jnp.int32(-1))
+
+        def combine(a, b):
+            ak, asl = a
+            bk, bsl = b
+            take_b = bsl >= 0
+            return jnp.where(take_b, bk, ak), jnp.where(take_b, bsl, asl)
+
+        carried_key, carried_slot = jax.lax.associative_scan(
+            combine, (elem_key, elem_slot)
+        )
+        hit = (sisq == 1) & (carried_key == skeys)
+        slot_sorted = jnp.where(hit, carried_slot, -1)
+
+        # restore query order: scatter by original query position
+        out_slots = jnp.full(nq, -1, jnp.int32)
+        qpos = jnp.where(sisq == 1, spay, nq)
+        out_slots = out_slots.at[qpos].set(slot_sorted, mode="drop")
+        slots = out_slots.reshape(c, NB)
+
+        safe = jnp.maximum(slots, 0)
+        cand = m.points[safe]
+        d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(slots[..., None] >= 0, d2, BIG)
+        neg_top, top_i = jax.lax.top_k(-d2.reshape(c, NB * B), k)
+        top_d2 = -neg_top
+        pts = jnp.take_along_axis(
+            cand.reshape(c, NB * B, 3), top_i[..., None], axis=1
+        )
+        return pts, top_d2, top_d2 < BIG
+
+    if N <= chunk:
+        return one_chunk(queries)
+    pad = (-N) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    pts, d2, ok = jax.lax.map(one_chunk, qp.reshape(-1, chunk, 3))
+    return (
+        pts.reshape(-1, k, 3)[:N],
+        d2.reshape(-1, k)[:N],
+        ok.reshape(-1, k)[:N],
+    )
+
+
 @jax.jit
 def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHashMap:
     """Tombstone every voxel whose center lies outside [lo, hi) — the

@@ -115,3 +115,30 @@ def test_masked_rows_ignored(rng):
         dmin = ((pts[:10] - p) ** 2).sum(-1).min()
         if np.asarray(ok)[i, 0]:
             assert d2[i] >= dmin - 1e-9
+
+
+def test_knn_sortjoin_matches_probe_knn(rng):
+    """The sort-merge-join kNN must return identical results to the
+    probing kNN (both search the same voxel neighborhood)."""
+    pts = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float64)
+    m = vh.make_map(capacity_log2=14, bucket=8, voxel_size=1.0,
+                    dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    q = jnp.asarray(rng.uniform(-8, 8, size=(500, 3)))
+    nb1, d1, ok1 = vh.knn(m, q, k=5)
+    nb2, d2, ok2 = vh.knn_sortjoin(m, q, k=5)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_allclose(np.sort(np.asarray(d1), axis=1),
+                               np.sort(np.asarray(d2), axis=1), atol=1e-12)
+
+
+def test_knn_sortjoin_respects_crop(rng):
+    pts = rng.uniform(-10, 10, size=(2000, 3)).astype(np.float64)
+    m = vh.make_map(capacity_log2=13, bucket=4, voxel_size=1.0,
+                    dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    m = vh.crop_outside_box(m, jnp.asarray([-5.0, -5, -5]),
+                            jnp.asarray([5.0, 5, 5]))
+    outside = pts[np.any((pts < -7) | (pts > 7), axis=1)][:64]
+    _, d2, ok = vh.knn_sortjoin(m, jnp.asarray(outside), k=1)
+    assert not np.any(np.asarray(d2)[:, 0] < 1e-9)
