@@ -56,6 +56,7 @@ class IkdtreeConfig:
     kd_step: int = 40  # map rebuild cadence (recontructKdTree analog)
     recontruct_kdtree: bool = False
     filter_size_map_min: float = 0.2  # map voxel size
+    single_association: bool = False  # one kNN pass per scan (perf knob)  # map voxel size
 
 
 @dataclass

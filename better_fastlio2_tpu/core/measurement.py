@@ -120,6 +120,7 @@ class MeasureAux(NamedTuple):
 
     neighbors: jax.Array  # (N, k, 3)
     nn_ok: jax.Array  # (N,) 5 neighbors found and 5th within gate
+    searched: jax.Array  # () bool — an association pass has run
 
 
 def transform_to_world(s: State, pts_body: jax.Array) -> jax.Array:
@@ -135,12 +136,17 @@ def make_measure_fn(
     extrinsic_est: bool = False,
     max_probe: int = 16,
     n_neighbors: int = 27,
+    single_association: bool = False,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
 
     `converged` gates re-association exactly like dyn_share.converge does
-    in the reference (laserMapping.cpp:1906-1913).
+    in the reference (laserMapping.cpp:1906-1913).  With
+    single_association=True the kNN association runs ONCE per scan (the
+    post-convergence re-search is skipped — roughly halves kNN cost at a
+    small accuracy cost; associations rarely change across iterations at
+    scan rate).
     """
     N = pts_body.shape[0]
     dtype = pts_body.dtype
@@ -158,9 +164,14 @@ def make_measure_fn(
                 & (d2[:, NUM_MATCH_POINTS - 1] <= MAX_NN_DIST2)
                 & pts_valid
             )
-            return MeasureAux(nb, nn_ok)
+            return MeasureAux(nb, nn_ok, jnp.array(True))
 
-        aux = jax.lax.cond(converged, do_search, lambda a: a, aux)
+        gate = (
+            jnp.logical_not(aux.searched)
+            if single_association
+            else converged
+        )
+        aux = jax.lax.cond(gate, do_search, lambda a: a, aux)
 
         n, d, plane_ok = plane_fit(aux.neighbors, aux.nn_ok)
         pd2 = jnp.einsum("ni,ni->n", n, p_world) + d
@@ -194,5 +205,6 @@ def make_measure_fn(
     aux0 = MeasureAux(
         neighbors=jnp.zeros((N, NUM_MATCH_POINTS, 3), dtype),
         nn_ok=jnp.zeros(N, bool),
+        searched=jnp.array(False),
     )
     return measure, aux0

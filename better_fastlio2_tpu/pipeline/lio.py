@@ -136,6 +136,8 @@ def make_step_fn(cfg: LIOConfig):
             extrinsic_est=mp.extrinsic_est_en,
             max_probe=sh.map_max_probe,
             n_neighbors=getattr(sh, "knn_neighbors", 27),
+            single_association=getattr(cfg.ikdtree, "single_association",
+                                       False),
         )
 
         def do_update(_):
