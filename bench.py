@@ -52,8 +52,7 @@ def main():
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.4,
         extrinsic_est_en=False,
     )
-    cfg.ikdtree = IkdtreeConfig(max_iteration=3, filter_size_map_min=0.4,
-                                single_association=True)
+    cfg.ikdtree = IkdtreeConfig(max_iteration=3, filter_size_map_min=0.4)
 
     n_scans = 40
     groups = make_lio_sequence(
