@@ -55,3 +55,32 @@ def test_colorize_and_boxes(rng):
     # low-probability box ignored (reference gate 0.6)
     hit2 = points_in_boxes(cam, pts, boxes, probs=np.array([0.5]))
     assert not hit2.any()
+
+
+def test_reference_configs_load():
+    """The ported reference YAML configs parse through LIOConfig.from_dict
+    with the expected values."""
+    import os
+
+    from better_fastlio2_tpu.config import load_yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    kitti = load_yaml(os.path.join(root, "velodyne64_kitti.yaml"))
+    assert kitti.preprocess.lidar_type == 2
+    assert kitti.mapping.det_range == 100.0
+    assert abs(kitti.mapping.extrinsic_T[0] + 0.8086759) < 1e-6
+    assert kitti.loop.enable is False
+
+    v16 = load_yaml(os.path.join(root, "velodyne16.yaml"))
+    assert v16.preprocess.point_filter_num == 4
+    assert v16.mapping.cube_len == 1500
+    assert v16.loop.fitness_score == 0.2
+
+    mulran = load_yaml(os.path.join(root, "mulran.yaml"))
+    assert mulran.preprocess.lidar_type == 3
+    assert mulran.mapping.extrinsic_R[0] == -1
+    assert mulran.ikdtree.filter_size_map_min == 0.3
+
+    hap = load_yaml(os.path.join(root, "hap_livox.yaml"))
+    assert hap.preprocess.lidar_type == 1
+    assert hap.preprocess.time_unit == 1
