@@ -55,7 +55,12 @@ class SLAMPipeline:
         blocking the front end (the reference's 1 Hz loop thread, P4);
         corrections are applied on a later scan when the result is ready."""
         self.cfg = cfg
-        self.lio = LIOPipeline(cfg)
+        # pipelined LIO hides the per-scan device->host readback behind the
+        # next scan's compute; outputs then describe the PREVIOUS scan, so
+        # keyframing uses a one-scan history of the raw points (keyframe
+        # decisions are insensitive to one-scan latency)
+        self.lio = LIOPipeline(cfg, pipelined=True)
+        self._scan_hist = None
         self.sc_params = sc_params or sc.SCParams()
         self.keyframes: list[Keyframe] = []
         self.loop_pairs: list[tuple[int, int]] = []
@@ -76,12 +81,14 @@ class SLAMPipeline:
 
     # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
     def _is_keyframe(self, pose7: np.ndarray) -> bool:
+        # pure numpy: a device round trip costs ~30 ms on the remote-TPU
+        # path and this gate runs every scan
         if not self.keyframes:
             return True
         prev = self.keyframes[-1].pose
-        rel = se3.between(jnp.asarray(prev), jnp.asarray(pose7))
-        d = float(jnp.linalg.norm(se3.trans(rel)))
-        ang = float(jnp.linalg.norm(so3.quat_log(se3.rot(rel))))
+        d = float(np.linalg.norm(pose7[4:7] - prev[4:7]))
+        dot = float(np.abs(np.dot(prev[0:4], pose7[0:4])))
+        ang = 2.0 * float(np.arccos(np.clip(dot, -1.0, 1.0)))
         mp = self.cfg.mapping
         return (
             d > mp.keyframe_adding_dist_threshold
@@ -100,8 +107,13 @@ class SLAMPipeline:
         out = self.lio.process_scan(
             pts, pt_t, imu_acc, imu_gyr, imu_t, scan_beg_abs, scan_end_t
         )
-        if out is None:
+        hist, self._scan_hist = self._scan_hist, (pts, scan_beg_abs,
+                                                  scan_end_t)
+        if out is None or hist is None:
             return None
+        # `out` corresponds to the PREVIOUS scan — pair it with that scan's
+        # points for keyframing
+        pts, scan_beg_abs, scan_end_t = hist
         if np.any(~np.isfinite(out["pos"])) or np.any(
             ~np.isfinite(out["quat"])
         ):

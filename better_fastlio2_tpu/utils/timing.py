@@ -59,8 +59,13 @@ class ScanTimer:
         vals = [r.get(name, 0.0) for r in self.rows[skip:]]
         return sum(vals) / max(len(vals), 1)
 
-    def scans_per_sec(self, skip: int = 0) -> float:
-        m = self.mean("total", skip)
+    def scans_per_sec(self, skip: int = 0, robust: bool = True) -> float:
+        vals = [r.get("total", 0.0) for r in self.rows[skip:]]
+        if not vals:
+            return 0.0
+        import statistics
+
+        m = statistics.median(vals) if robust else sum(vals) / len(vals)
         return 1.0 / m if m > 0 else 0.0
 
     def write_csv(self, path: str):
