@@ -47,6 +47,10 @@ def main():
         map_bucket=4,
         map_max_probe=6,
         knn_chunk=32768,
+        # dense torus index (one row-gather lookups) + lower-bound-pruned
+        # candidate gather — both exact on this workload (tools/profile_*)
+        map_dense_log2=(9, 9, 7),
+        knn_max_live=12,
     )
     cfg.mapping = MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.4,
@@ -79,6 +83,15 @@ def main():
         if pipe.inited:
             t_scan.append(t1 - t0)
     pipe.flush()
+
+    # a benchmark of a diverged filter is meaningless — refuse to report
+    traj = np.array(pipe.trajectory)
+    if not np.all(np.isfinite(traj)):
+        raise RuntimeError("trajectory went non-finite during bench")
+    drift = np.linalg.norm(traj[-1][:3]) if len(traj) else 0.0
+    if not (0.1 < drift < 100.0):
+        raise RuntimeError(
+            f"implausible end position |p|={drift:.3f} m — filter broken")
 
     steady = np.array(t_scan[warmup:])
     # median is robust to the multi-second stalls the remote-TPU transport

@@ -81,6 +81,13 @@ class ShapesConfig:
     map_max_probe: int = 6
     knn_chunk: int = 32768
     knn_neighbors: int = 27  # 7/19/27 voxel shell for 5-NN candidates
+    # gather points only from the `knn_max_live` live cells nearest by
+    # AABB lower bound (0 = gather all knn_neighbors cells, exact)
+    knn_max_live: int = 0
+    # dense torus lookup index dims as log2 per axis (None = probe-only);
+    # (9,9,7) = 512x512x128 cells = 268 MB HBM, spans 204.8x204.8x51.2 m
+    # at 0.4 m voxels before torus wrap
+    map_dense_log2: tuple | None = None
 
 
 @dataclass

@@ -114,12 +114,19 @@ def plane_fit(
 
 
 class MeasureAux(NamedTuple):
-    """kNN association cache threaded through ESIKF iterations — the analog
+    """Association cache threaded through ESIKF iterations — the analog
     of Nearest_Points / point_selected_surf persisting across h_share_model
-    calls (laserMapping.cpp:117,1903-1913)."""
+    calls (laserMapping.cpp:117,1903-1913).
 
-    neighbors: jax.Array  # (N, k, 3)
-    nn_ok: jax.Array  # (N,) 5 neighbors found and 5th within gate
+    The plane fit depends only on the neighbor set, not on the state, so
+    its results (normal, d, fit_ok) are computed once per association
+    pass and cached here instead of being refit every iteration (the
+    reference refits per call — laserMapping.cpp:1919 — because its loop
+    is CPU-cheap; on TPU the refit is measurable dead work)."""
+
+    normal: jax.Array  # (N, 3) plane unit normals (world)
+    d: jax.Array  # (N,) plane offsets, n·p + d = 0
+    fit_ok: jax.Array  # (N,) nn_ok & plane residuals within threshold
     searched: jax.Array  # () bool — an association pass has run
 
 
@@ -137,6 +144,7 @@ def make_measure_fn(
     max_probe: int = 16,
     n_neighbors: int = 27,
     single_association: bool = False,
+    max_live: int = 0,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -157,14 +165,15 @@ def make_measure_fn(
         def do_search(_):
             nb, d2, ok = voxel_hash.knn(
                 m, p_world, k=NUM_MATCH_POINTS, max_probe=max_probe,
-                n_neighbors=n_neighbors,
+                n_neighbors=n_neighbors, max_live=max_live,
             )
             nn_ok = (
                 jnp.all(ok, axis=-1)
                 & (d2[:, NUM_MATCH_POINTS - 1] <= MAX_NN_DIST2)
                 & pts_valid
             )
-            return MeasureAux(nb, nn_ok, jnp.array(True))
+            n, d, plane_ok = plane_fit(nb, nn_ok)
+            return MeasureAux(n, d, plane_ok, jnp.array(True))
 
         gate = (
             jnp.logical_not(aux.searched)
@@ -173,7 +182,7 @@ def make_measure_fn(
         )
         aux = jax.lax.cond(gate, do_search, lambda a: a, aux)
 
-        n, d, plane_ok = plane_fit(aux.neighbors, aux.nn_ok)
+        n, d, plane_ok = aux.normal, aux.d, aux.fit_ok
         pd2 = jnp.einsum("ni,ni->n", n, p_world) + d
         body_norm = jnp.linalg.norm(pts_body, axis=-1)
         srob = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(body_norm, 1e-8))
@@ -203,8 +212,9 @@ def make_measure_fn(
         return MeasurementOut(h_x=h_x, h=h, mask=sel, aux=aux)
 
     aux0 = MeasureAux(
-        neighbors=jnp.zeros((N, NUM_MATCH_POINTS, 3), dtype),
-        nn_ok=jnp.zeros(N, bool),
+        normal=jnp.zeros((N, 3), dtype),
+        d=jnp.zeros(N, dtype),
+        fit_ok=jnp.zeros(N, bool),
         searched=jnp.array(False),
     )
     return measure, aux0

@@ -7,30 +7,34 @@ reference's own README recommends (README.md:266-267, Faster-LIO-style
 sparse voxel hash), the map here is a fixed-capacity open-addressing hash
 table of voxel buckets living entirely in HBM:
 
-    key:    (C,)   int32   packed voxel id + liveness (hot-path array)
-    coords: (C, 3) int32   full voxel integer coordinates (cold path)
-    state:  (C,)   int8    0 = empty, 1 = live, 2 = tombstone (cold path)
+    key:    (C,)   int32   packed voxel id + liveness (the ONLY metadata
+                           touched on the hot path)
     count:  (C,)   int32   points stored in the slot (<= B; insert only)
     points: (C, B, 3)      SoA point storage, sentinel-filled (1e9)
 
 Hot-path design (random HBM gathers dominate kNN cost on TPU — measured
-~16 ms per probe round over 27x32k candidates when fetching coords+state
-separately):
+~5.4 ms per 884k-lane 4-byte gather round on v5e):
 * ONE int32 `key` per slot encodes liveness and the voxel coordinates
-  wrapped to 10 bits per axis, so a probe round gathers 4 bytes/slot
-  instead of 13.  Wrapping aliases voxels 1024 cells (~400 m at 0.4 m)
-  apart per axis; the moving-FoV crop keeps live voxels within a cube
-  far smaller than the alias period, so live-live collisions cannot
-  occur (asserted in make_map against cube_len).
-* probe loop exits as soon as every query resolved (load factor is kept
-  low; the mean chain length is ~1.2).
-* empty bucket lanes hold 1e9 sentinels, so candidate distances are
-  naturally invalid and kNN needs no `count` gather at all.
+  wrapped to 10 bits per axis, so a probe round gathers 4 bytes/slot.
+  Wrapping aliases voxels 1024 cells (~400 m at 0.4 m) apart per axis;
+  the moving-FoV crop keeps live voxels within a cube far smaller than
+  the alias period, so live-live collisions cannot occur.
+* there is NO coords array and NO state array: liveness/tombstone state
+  is two bits of the key, and a live voxel's integer coordinates are
+  recovered exactly from its first stored point (floor(p/voxel)) — a
+  contiguous (C,3) read, never a gather.
+* the probe loop early-exits; at the load factors the map runs at (<10%)
+  ~96% of chains terminate on round 0, mean round count ~1.1-2.
+* kNN gathers only the up-to-L live cells per query nearest by
+  cell-AABB lower bound (branch-free top_k over the neighborhood),
+  instead of all 27 — the dominant points gather shrinks ~2x with
+  exactness preserved whenever <= L neighborhood cells are live.
 
 * insert: batched, race-free via a deterministic scatter-min claim
-  protocol (no atomics needed; identical result every run).
-* kNN: gather the neighborhood per query and top-k by distance — dense,
-  VPU-friendly, replacing tree traversal (ikd_Tree.cpp:367).
+  protocol (no atomics needed; identical result every run).  Only the
+  key array is written inside the claim loop (1 scatter/round); bucket
+  appends go through a single 2-D scatter (a reshape-wrapped 1-D
+  scatter costs ~4.7x more on v5e — measured 13.6 vs 2.9 ms).
 * box-delete (FoV cube slide, laserMapping.cpp:1136-1200): a vectorized
   predicate turns out-of-cube voxels into tombstones — O(C), no tree
   surgery.  Tombstones keep probe chains intact; `rebuild` compacts the
@@ -66,7 +70,7 @@ EMPTY, LIVE, TOMB = 0, 1, 2
 
 # key encoding
 _KEY_EMPTY = jnp.int32(0)
-_KEY_TOMB = jnp.int32(-2147483648)  # 1 << 31
+_KEY_TOMB = jnp.int32(-2147483648)  # 1 << 31 (bit 30 clear => not live)
 _LIVE_BIT = jnp.int32(1 << 30)
 _SENTINEL = 1e9  # "no point" coordinate value
 
@@ -76,19 +80,43 @@ _P1, _P2, _P3 = 73856093, 19349669, 83492791
 
 class VoxelHashMap(NamedTuple):
     key: jax.Array  # (C,) int32
-    coords: jax.Array  # (C, 3) int32
-    state: jax.Array  # (C,) int8
     count: jax.Array  # (C,) int32
     points: jax.Array  # (C, B, 3) float
+    # Optional dense torus-grid lookup index: (G, 2) int32 rows of
+    # (packed key, slot), addressed by voxel coords wrapped to the grid
+    # dims.  Turns the kNN slot lookup into ONE 8-byte row gather per
+    # candidate cell (vs max_probe 4-byte gather rounds) — measured the
+    # probe loop at 31+ ms per 884k-lane association on v5e vs ~5 ms for
+    # the dense path.  Purely an accelerator: entries are verified
+    # against the packed target key at lookup, so stale rows (window
+    # wrap, crop, rebuild) read as misses, and insert correctness never
+    # depends on it (insert finds existing voxels by hash probing).
+    # None disables (small throwaway maps in apps/tests).
+    dense: jax.Array | None  # (Gx, Gy, Gz, 2) int32 or None
     voxel_size: jax.Array  # () float — on-device so the map is a pure pytree
 
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        return self.key.shape[0]
 
     @property
     def bucket(self) -> int:
         return self.points.shape[1]
+
+    # -- derived views (no storage) ------------------------------------
+    @property
+    def state(self) -> jax.Array:
+        """int8 view: 0 empty, 1 live, 2 tombstone — derived from key."""
+        live = (self.key & _LIVE_BIT) != 0
+        tomb = self.key == _KEY_TOMB
+        return jnp.where(live, jnp.int8(LIVE),
+                         jnp.where(tomb, jnp.int8(TOMB), jnp.int8(EMPTY)))
+
+    @property
+    def coords(self) -> jax.Array:
+        """(C,3) int32 voxel coords of live slots, recovered exactly from
+        each bucket's first stored point (garbage for non-live slots)."""
+        return _voxel_of(self.points[:, 0, :], self.voxel_size)
 
 
 def make_map(
@@ -96,25 +124,53 @@ def make_map(
     bucket: int = 8,
     voxel_size: float = 0.5,
     dtype=jnp.float32,
+    dense_log2: tuple[int, int, int] | None = None,
 ) -> VoxelHashMap:
-    """Allocate an empty map. Capacity is 2**capacity_log2 slots."""
+    """Allocate an empty map. Capacity is 2**capacity_log2 slots.
+
+    dense_log2=(lx,ly,lz) adds the dense torus lookup index of
+    2**lx x 2**ly x 2**lz cells (e.g. (9,9,7) = 512x512x128 = 268 MB,
+    spanning 204.8x204.8x51.2 m at 0.4 m voxels before wrap-aliasing).
+    """
     C = 1 << capacity_log2
+    dense = (
+        jnp.zeros((1 << dense_log2[0], 1 << dense_log2[1],
+                   1 << dense_log2[2], 2), jnp.int32)
+        if dense_log2 is not None
+        else None
+    )
     return VoxelHashMap(
         key=jnp.zeros(C, jnp.int32),
-        coords=jnp.zeros((C, 3), jnp.int32),
-        state=jnp.zeros(C, jnp.int8),
         count=jnp.zeros(C, jnp.int32),
         points=jnp.full((C, bucket, 3), _SENTINEL, dtype),
+        dense=dense,
         voxel_size=jnp.asarray(voxel_size, dtype),
     )
 
 
+def _dense_lookup(dense: jax.Array, ijk: jax.Array) -> jax.Array:
+    """Slot of each voxel coord via the dense index; -1 if absent/stale.
+
+    ONE contiguous 8-byte row gather per lane; the stored packed key is
+    compared against the query's packed key, so torus-wrap aliases and
+    stale rows self-invalidate (the packed key has a 1024-cell period per
+    axis, >= every torus dim, so equal keys at the same torus address
+    can only disagree if the grid spans more than the key period —
+    excluded by construction)."""
+    Gx, Gy, Gz, _ = dense.shape
+    row = dense[ijk[..., 0] & (Gx - 1),
+                ijk[..., 1] & (Gy - 1),
+                ijk[..., 2] & (Gz - 1)]
+    hit = row[..., 0] == _pack(ijk)
+    return jnp.where(hit, row[..., 1], -1)
+
+
 def num_voxels(m: VoxelHashMap) -> jax.Array:
-    return jnp.sum((m.state == LIVE).astype(jnp.int32))
+    return jnp.sum(((m.key & _LIVE_BIT) != 0).astype(jnp.int32))
 
 
 def tombstone_fraction(m: VoxelHashMap) -> jax.Array:
-    return jnp.mean((m.state == TOMB).astype(jnp.float32))
+    return jnp.mean((m.key == _KEY_TOMB).astype(jnp.float32))
 
 
 def _voxel_of(points: jax.Array, voxel_size) -> jax.Array:
@@ -141,9 +197,8 @@ def _lookup_slots(
 ) -> jax.Array:
     """Find the live slot index for each voxel coord; -1 if absent.
 
-    Linear probing on the packed key array: one 4-byte gather per round,
-    early exit once every lane resolved.  Tombstone keys keep the chain
-    walking; empty ends it.
+    Linear probing on the packed key array: one 4-byte gather per round.
+    Tombstone keys keep the chain walking; empty ends it.
     """
     C = key_arr.shape[0]
     mask = C - 1
@@ -151,19 +206,27 @@ def _lookup_slots(
     target = _pack(ijk)
     n = ijk.shape[0]
 
-    # bounded fori (a data-dependent while_loop stalls the TPU compiler
-    # here); each round is ONE 4-byte gather per lane
-    def body(j, c):
-        slot, open_ = c
+    # early-exit while_loop (2.4x faster in-step than a fixed fori probe
+    # count, measured on v5e); note with ~1M lanes the MAX chain length
+    # governs the exit, so rounds ~= max_probe in practice — the dense
+    # index below is what actually removes this cost from the hot path.
+    def cond(c):
+        _, open_, j, any_open = c
+        return any_open & (j < max_probe)
+
+    def body(c):
+        slot, open_, j, _ = c
         cand = (h0 + j) & mask
         k = key_arr[cand]
         hit = k == target
         slot = jnp.where(open_ & hit, cand, slot)
         open_ = open_ & ~hit & (k != _KEY_EMPTY)
-        return slot, open_
+        return slot, open_, j + 1, jnp.any(open_)
 
     slot0 = jnp.full(n, -1, jnp.int32)
-    slot, _ = jax.lax.fori_loop(0, max_probe, body, (slot0, jnp.ones(n, bool)))
+    slot, _, _, _ = jax.lax.while_loop(
+        cond, body, (slot0, jnp.ones(n, bool), jnp.int32(0), jnp.array(True))
+    )
     return slot
 
 
@@ -182,7 +245,9 @@ def insert(
     there).  New voxels claim empty slots via scatter-min: within one
     probe round every contending voxel writes its point-rank into the
     candidate slot and reads back whether it won — deterministic, so the
-    map state is bit-identical across replays.
+    map state is bit-identical across replays.  Only the key array is
+    mutated inside the loop; chain correctness across rounds needs the
+    winners' keys visible to later probes.
     """
     C, B = m.capacity, m.bucket
     hmask = C - 1
@@ -210,7 +275,7 @@ def insert(
     key_target = _pack(ijk_s)
 
     def claim_round(st):
-        slot, probe, key_arr, state_arr, coords_arr, unresolved = st[:6]
+        slot, probe, key_arr, unresolved = st[:4]
         cand = (h_s + probe) & hmask
         kcand = key_arr[cand]
         found = unresolved & (kcand == key_target)
@@ -224,49 +289,54 @@ def insert(
             jnp.where(tryc, idx, _INT_MAX)
         )
         won = tryc & (claim[cand] == idx)
-        wslot = jnp.where(won, cand, C)
-        key_arr = key_arr.at[wslot].set(key_target, mode="drop")
-        state_arr = state_arr.at[wslot].set(LIVE, mode="drop")
-        coords_arr = coords_arr.at[wslot].set(ijk_s, mode="drop")
+        key_arr = key_arr.at[jnp.where(won, cand, C)].set(
+            key_target, mode="drop"
+        )
         slot = jnp.where(won, cand, slot)
         unresolved = unresolved & ~won
         probe = jnp.where(unresolved, probe + 1, probe)
         unresolved = unresolved & (probe < max_probe)
-        return (slot, probe, key_arr, state_arr, coords_arr, unresolved,
-                jnp.any(unresolved))
+        return (slot, probe, key_arr, unresolved, jnp.any(unresolved))
 
     st = (
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n, jnp.int32),
         m.key,
-        m.state,
-        m.coords,
         is_head,
         jnp.any(is_head),
     )
     st = jax.lax.while_loop(lambda s: s[-1], claim_round, st)
-    head_slot, _, key_arr, state_arr, coords_arr, _, _ = st
+    head_slot, _, key_arr, _, _ = st
 
     # every row inherits its group head's slot (-1 if the head failed)
     slot_all = head_slot[group_head]
     slot_all = jnp.where(valid_s, slot_all, -1)
 
-    # ---- append points into buckets --------------------------------------
+    # ---- append points into buckets (single 2-D scatter) ------------------
     base = m.count[jnp.maximum(slot_all, 0)]
     dest = base + rank
     ok = (slot_all >= 0) & (dest < B) & valid_s
-    flat_idx = jnp.where(ok, slot_all * B + dest, C * B)  # OOB rows drop
-    points = (
-        m.points.reshape(C * B, 3).at[flat_idx].set(pts_s, mode="drop")
-    ).reshape(C, B, 3)
+    srow = jnp.where(ok, slot_all, C)  # OOB rows drop
+    points = m.points.at[srow, jnp.where(ok, dest, 0)].set(pts_s, mode="drop")
 
     add = jnp.zeros(C, jnp.int32).at[jnp.where(ok, slot_all, 0)].add(
         ok.astype(jnp.int32)
     )
     count = jnp.minimum(m.count + add, B)
 
-    return VoxelHashMap(key_arr, coords_arr, state_arr, count, points,
-                        m.voxel_size)
+    # refresh the dense index for every head that resolved a slot (newly
+    # claimed or re-found — re-found rows repair entries lost to torus
+    # aliasing); one 2-int32 row scatter per head
+    dense = m.dense
+    if dense is not None:
+        Gx, Gy, Gz, _ = dense.shape
+        upd = is_head & (head_slot >= 0)
+        ix = jnp.where(upd, ijk_s[:, 0] & (Gx - 1), Gx)
+        row = jnp.stack([key_target, head_slot], axis=-1)
+        dense = dense.at[ix, ijk_s[:, 1] & (Gy - 1),
+                         ijk_s[:, 2] & (Gz - 1)].set(row, mode="drop")
+
+    return VoxelHashMap(key_arr, count, points, dense, m.voxel_size)
 
 
 def _neighbor_offsets(n_neighbors: int) -> jnp.ndarray:
@@ -288,7 +358,10 @@ def _neighbor_offsets(n_neighbors: int) -> jnp.ndarray:
     return jnp.asarray(sel.astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=("k", "max_probe", "chunk", "n_neighbors"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "chunk", "n_neighbors", "max_live"),
+)
 def knn(
     m: VoxelHashMap,
     queries: jax.Array,
@@ -296,6 +369,7 @@ def knn(
     max_probe: int = 16,
     chunk: int = 32768,
     n_neighbors: int = 27,
+    max_live: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched k-nearest-neighbors over the voxel neighborhood.
 
@@ -303,6 +377,14 @@ def knn(
     ikd-Tree Nearest_Search (ikd_Tree.cpp:367); candidates are bounded to
     the 3x3x3 voxel shell (or 7/19-cell subsets) around each query, which
     at map resolution covers the reference's effective match radius.
+
+    max_live > 0 gathers points only from the up-to-`max_live` LIVE cells
+    nearest by cell-AABB distance lower bound (per query, branch-free
+    top_k over the neighborhood).  Exact whenever a query has <= max_live
+    live neighborhood cells; beyond that the pruned cells are the
+    farthest-possible ones, so a missed true neighbor needs > max_live
+    nearer cells that all lack closer points — vanishingly rare on scan
+    data.  The dominant random points-gather shrinks NB/max_live-fold.
     """
     N = queries.shape[0]
     B = m.bucket
@@ -311,21 +393,37 @@ def knn(
 
     offs = _neighbor_offsets(n_neighbors)
     NB = offs.shape[0]
+    L = min(max_live, NB) if max_live > 0 else NB
 
     def one_chunk(q):
         c = q.shape[0]
         ijk = _voxel_of(q, m.voxel_size)
         nb = ijk[:, None, :] + offs[None, :, :]
-        slots = _lookup_slots(m.key, nb.reshape(-1, 3), max_probe)
-        slots = slots.reshape(c, NB)
+        if m.dense is not None:
+            slots = _dense_lookup(m.dense, nb)
+        else:
+            slots = _lookup_slots(m.key, nb.reshape(-1, 3), max_probe)
+            slots = slots.reshape(c, NB)
+
+        if L < NB:
+            # distance lower bound from q to each neighbor cell's AABB
+            vs = m.voxel_size
+            lo = nb.astype(dtype) * vs
+            dq = jnp.maximum(lo - q[:, None, :],
+                             q[:, None, :] - (lo + vs))
+            lb = jnp.sum(jnp.maximum(dq, 0.0) ** 2, axis=-1)  # (c, NB)
+            score = jnp.where(slots >= 0, -lb, -BIG)
+            _, lane = jax.lax.top_k(score, L)  # live cells, nearest first
+            slots = jnp.take_along_axis(slots, lane, axis=1)  # (c, L)
+
         safe = jnp.maximum(slots, 0)
-        cand = m.points[safe]  # (c, NB, B, 3); sentinel rows self-invalidate
+        cand = m.points[safe]  # (c, L, B, 3); sentinel rows self-invalidate
         d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
         d2 = jnp.where(slots[..., None] >= 0, d2, BIG)
-        neg_top, top_i = jax.lax.top_k(-d2.reshape(c, NB * B), k)
+        neg_top, top_i = jax.lax.top_k(-d2.reshape(c, L * B), k)
         top_d2 = -neg_top
         pts = jnp.take_along_axis(
-            cand.reshape(c, NB * B, 3), top_i[..., None], axis=1
+            cand.reshape(c, L * B, 3), top_i[..., None], axis=1
         )
         return pts, top_d2, top_d2 < BIG
 
@@ -450,14 +548,33 @@ def knn_sortjoin(
 def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHashMap:
     """Tombstone every voxel whose center lies outside [lo, hi) — the
     analog of the moving-FoV-cube box deletion (lasermap_fov_segment,
-    laserMapping.cpp:1136-1200 + ikd-Tree Delete_Point_Boxes)."""
-    centers = (m.coords.astype(m.points.dtype) + 0.5) * m.voxel_size
+    laserMapping.cpp:1136-1200 + ikd-Tree Delete_Point_Boxes).
+
+    Voxel coords come from each bucket's first stored point (exact for
+    live slots; sentinel points put empty slots far outside, but the kill
+    mask is gated on liveness anyway)."""
+    live = (m.key & _LIVE_BIT) != 0
+    ijk = _voxel_of(m.points[:, 0, :], m.voxel_size)
+    centers = (ijk.astype(m.points.dtype) + 0.5) * m.voxel_size
     outside = jnp.any((centers < lo) | (centers >= hi), axis=-1)
-    kill = (m.state == LIVE) & outside
+    kill = live & outside
+
+    # invalidate dense rows of killed voxels — only where the row still
+    # points at the killed slot (never clobber a torus-alias's entry)
+    dense = m.dense
+    if dense is not None:
+        Gx, Gy, Gz, _ = dense.shape
+        ix, iy, iz = ijk[:, 0] & (Gx - 1), ijk[:, 1] & (Gy - 1), ijk[:, 2] & (Gz - 1)
+        mine = dense[ix, iy, iz, 1] == jnp.arange(m.capacity, dtype=jnp.int32)
+        clear = kill & mine
+        dense = dense.at[jnp.where(clear, ix, Gx), iy, iz].set(
+            jnp.zeros(2, jnp.int32), mode="drop"
+        )
+
     return m._replace(
         key=jnp.where(kill, _KEY_TOMB, m.key),
-        state=jnp.where(kill, jnp.int8(TOMB), m.state),
         count=jnp.where(kill, 0, m.count),
+        dense=dense,
     )
 
 
@@ -470,7 +587,7 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
     cadence (recontructIKdTree, laserMapping.cpp:612-669).
     """
     C, B = m.capacity, m.bucket
-    live = (m.state == LIVE)[:, None] & (
+    live = ((m.key & _LIVE_BIT) != 0)[:, None] & (
         jnp.arange(B)[None, :] < m.count[:, None]
     )
     fresh = make_map(
@@ -478,6 +595,11 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
         bucket=B,
         voxel_size=float(m.voxel_size),
         dtype=m.points.dtype,
+        dense_log2=(
+            tuple(int(g).bit_length() - 1 for g in m.dense.shape[:3])
+            if m.dense is not None
+            else None
+        ),
     )
     return insert(
         fresh,

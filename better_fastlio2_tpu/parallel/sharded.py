@@ -115,8 +115,11 @@ def sharded_update_step(mesh: Mesh, cfg=None, axis: str = "dp"):
         dx = jnp.linalg.solve(A, rhs)
         return dx, jnp.sum(w)
 
+    # replicated map WITHOUT the dense index (None): the dense torus grid
+    # is a single-chip lookup accelerator; replicating 268 MB per chip
+    # buys nothing the probe path doesn't already do here
     mspec = voxel_hash.VoxelHashMap(
-        key=P(), coords=P(), state=P(), count=P(), points=P(), voxel_size=P()
+        key=P(), count=P(), points=P(), dense=None, voxel_size=P()
     )
     xspec = State(*([P()] * 8))
     return jax.shard_map(

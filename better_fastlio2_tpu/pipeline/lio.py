@@ -138,6 +138,7 @@ def make_step_fn(cfg: LIOConfig):
             n_neighbors=getattr(sh, "knn_neighbors", 27),
             single_association=getattr(cfg.ikdtree, "single_association",
                                        False),
+            max_live=getattr(sh, "knn_max_live", 0),
         )
 
         def do_update(_):
@@ -231,6 +232,7 @@ class LIOPipeline:
             bucket=sh.map_bucket,
             voxel_size=self.cfg.ikdtree.filter_size_map_min,
             dtype=self.dtype,
+            dense_log2=getattr(sh, "map_dense_log2", None),
         )
         # NB: distinct arrays per field — the step donates its input state,
         # and XLA rejects donating one buffer under two aliases.

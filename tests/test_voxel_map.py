@@ -142,3 +142,59 @@ def test_knn_sortjoin_respects_crop(rng):
     outside = pts[np.any((pts < -7) | (pts > 7), axis=1)][:64]
     _, d2, ok = vh.knn_sortjoin(m, jnp.asarray(outside), k=1)
     assert not np.any(np.asarray(d2)[:, 0] < 1e-9)
+
+
+def test_dense_index_matches_probe_lookup(rng):
+    """kNN through the dense torus index must equal the probe path,
+    including after crops (stale-row invalidation) and re-inserts."""
+    pts = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float64)
+    kw = dict(capacity_log2=13, bucket=4, voxel_size=1.0, dtype=jnp.float64)
+    # torus dims must cover the live span (32 > 20 cells per axis) or
+    # wrap-aliasing turns dense hits into (legal but inexact) misses
+    md = vh.make_map(dense_log2=(5, 5, 5), **kw)
+    mp = vh.make_map(**kw)
+    md = vh.insert(md, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    mp = vh.insert(mp, jnp.asarray(pts), jnp.ones(len(pts), bool))
+
+    q = jnp.asarray(rng.uniform(-8, 8, size=(300, 3)))
+    for m2, m1 in [(md, mp)]:
+        nb1, d1, ok1 = vh.knn(m1, q, k=5)
+        nb2, d2, ok2 = vh.knn(m2, q, k=5)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                                   np.sort(np.asarray(d2), 1), atol=1e-12)
+
+    # crop then re-insert a second batch; parity must hold throughout
+    lo = jnp.asarray([-5.0, -5.0, -5.0]); hi = jnp.asarray([5.0, 5.0, 5.0])
+    md = vh.crop_outside_box(md, lo, hi)
+    mp = vh.crop_outside_box(mp, lo, hi)
+    pts2 = rng.uniform(-9, 9, size=(1500, 3)).astype(np.float64)
+    md = vh.insert(md, jnp.asarray(pts2), jnp.ones(len(pts2), bool))
+    mp = vh.insert(mp, jnp.asarray(pts2), jnp.ones(len(pts2), bool))
+    nb1, d1, ok1 = vh.knn(mp, q, k=5)
+    nb2, d2, ok2 = vh.knn(md, q, k=5)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                               np.sort(np.asarray(d2), 1), atol=1e-12)
+
+    # rebuild keeps the dense config and stays consistent
+    md = vh.rebuild(md)
+    assert md.dense is not None
+    _, d3, ok3 = vh.knn(md, q, k=5)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok3))
+    np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                               np.sort(np.asarray(d3), 1), atol=1e-12)
+
+
+def test_knn_max_live_prunes_exactly_when_few_live(rng):
+    """With max_live >= live neighborhood cells the pruned kNN is exact."""
+    pts = rng.uniform(-10, 10, size=(1000, 3)).astype(np.float64)
+    m = vh.make_map(capacity_log2=13, bucket=4, voxel_size=1.0,
+                    dtype=jnp.float64)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    q = jnp.asarray(rng.uniform(-8, 8, size=(200, 3)))
+    nb1, d1, ok1 = vh.knn(m, q, k=5)
+    nb2, d2, ok2 = vh.knn(m, q, k=5, max_live=27)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                               np.sort(np.asarray(d2), 1), atol=1e-12)
