@@ -66,8 +66,11 @@ def main():
     cfg.ikdtree = IkdtreeConfig(max_iteration=4, filter_size_map_min=0.5,
                                 single_association=True)
 
-    n_scans = 40
-    groups = make_lio_sequence(
+    n_scans = 72
+    window = 8  # scans per device program (amortises the ~30 ms
+    # readback round trip + ~1.4 ms program launch of the remote-TPU
+    # transport; tools/profile_micro3.py)
+    groups = list(make_lio_sequence(
         duration=n_scans / 10.0,
         scan_rate=10.0,
         imu_rate=100.0,
@@ -75,22 +78,24 @@ def main():
         seed=7,
         noise=0.004,
         traj=Trajectory(t_still=0.7, speed=3.0),
-    )
+    ))
 
-    pipe = LIOPipeline(cfg, pipelined=True)
-    # feed until initialised + a few warmup scans (compile + map growth)
-    warmup = 8
-    t_scan = []
+    pipe = LIOPipeline(cfg, pipelined=True, window=window)
+    # warmup covers IMU init, jit compile (first window), and map growth
+    warmup = 3 * window
+    t_start = None
+    n_timed = 0
     for i, g in enumerate(groups):
-        t0 = time.perf_counter()
-        out = pipe.process_scan(
+        if pipe.inited and t_start is None and i >= warmup:
+            t_start = time.perf_counter()
+        pipe.process_scan(
             g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
             g["scan_beg_abs"], g["scan_end_t"],
         )
-        t1 = time.perf_counter()
-        if pipe.inited:
-            t_scan.append(t1 - t0)
-    pipe.flush()
+        if t_start is not None:
+            n_timed += 1
+    pipe.flush()  # drains the trailing window readback — counted
+    elapsed = time.perf_counter() - t_start
 
     # a benchmark of a diverged filter is meaningless — refuse to report
     traj = np.array(pipe.trajectory)
@@ -101,10 +106,7 @@ def main():
         raise RuntimeError(
             f"implausible end position |p|={drift:.3f} m — filter broken")
 
-    steady = np.array(t_scan[warmup:])
-    # median is robust to the multi-second stalls the remote-TPU transport
-    # occasionally injects (observed ±35% run-to-run variance on means)
-    scans_per_sec = 1.0 / float(np.median(steady))
+    scans_per_sec = n_timed / elapsed
     print(
         json.dumps(
             {

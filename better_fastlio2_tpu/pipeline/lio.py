@@ -30,7 +30,7 @@ from ..map import voxel_hash
 from ..ops.downsample import voxel_downsample
 from ..utils import so3
 
-__all__ = ["LIOState", "LIOPipeline", "make_step_fn"]
+__all__ = ["LIOState", "LIOPipeline", "make_step_fn", "make_window_step_fn"]
 
 MOV_THRESHOLD = 1.5  # laserMapping.cpp MOV_THRESHOLD
 
@@ -83,11 +83,11 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range):
                        cube_init=jnp.array(True))
 
 
-def make_step_fn(cfg: LIOConfig):
-    """Build the jitted scan-tick function.
+def _make_step_core(cfg: LIOConfig):
+    """Build the (traceable, un-jitted) one-scan tick body.
 
-    step(ls, pts, pt_t, pt_valid, imu_batch, last_end_rel, scan_end_t,
-         acc_norm) -> (ls', info dict)
+    core(ls, pts, pt_t, pt_valid, imu_batch, last_end_rel, scan_end_t,
+         acc_norm) -> (ls', info_vec)
 
     pts: (n_raw, 3) lidar-frame points (already blind-culled/strided by
     the host preprocessor); pt_t: (n_raw,) per-point offsets (s) from scan
@@ -101,7 +101,6 @@ def make_step_fn(cfg: LIOConfig):
     dtype = jnp.dtype(cfg.dtype)
     Q = imu.build_Q(mp.gyr_cov, mp.acc_cov, mp.b_gyr_cov, mp.b_acc_cov, dtype)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step(
         ls: LIOState,
         pts: jax.Array,
@@ -194,6 +193,61 @@ def make_step_fn(cfg: LIOConfig):
     return step
 
 
+def make_step_fn(cfg: LIOConfig):
+    """Jitted single-scan tick (see _make_step_core for the signature)."""
+    return jax.jit(_make_step_core(cfg), donate_argnums=(0,))
+
+
+class WindowInputs(NamedTuple):
+    """W scans' stacked tick inputs for the windowed step."""
+
+    pts: jax.Array  # (W, n_raw, 3)
+    pt_t: jax.Array  # (W, n_raw)
+    pt_valid: jax.Array  # (W, n_raw)
+    imu_acc: jax.Array  # (W, m_imu, 3)
+    imu_gyr: jax.Array  # (W, m_imu, 3)
+    imu_t: jax.Array  # (W, m_imu)
+    imu_mask: jax.Array  # (W, m_imu)
+    last_end_rel: jax.Array  # (W,)
+    scan_end_t: jax.Array  # (W,)
+    scan_valid: jax.Array  # (W,) bool — padded window tail entries skip
+
+
+def make_window_step_fn(cfg: LIOConfig, window: int):
+    """Jitted W-scan device loop: lax.scan of the tick inside ONE program.
+
+    The remote-TPU transport costs ~1.4 ms per program launch and a
+    ~30 ms round trip per host readback (tools/profile_micro3.py); at
+    10 Hz scan rate that overhead alone caps per-scan dispatch at ~19
+    scans/s.  Batching W sequential scans into one program amortises the
+    launch, the host->device input transfer, and the info readback W-fold
+    while keeping the scan-to-scan recurrence exact (the lax.scan carries
+    the full filter state).  Latency grows by W scan periods — use
+    window=1 for online/interactive runs, larger for offline throughput.
+    """
+    core = _make_step_core(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def wstep(ls: LIOState, w: WindowInputs, acc_norm: jax.Array):
+        def body(ls, xs):
+            batch = imu.ImuBatch(acc=xs.imu_acc, gyr=xs.imu_gyr,
+                                 t=xs.imu_t, mask=xs.imu_mask)
+
+            def run(ls):
+                return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
+                            xs.last_end_rel, xs.scan_end_t, acc_norm)
+
+            def skip(ls):
+                return ls, jnp.zeros(16, jnp.float32)
+
+            return jax.lax.cond(xs.scan_valid, run, skip, ls)
+
+        ls, infos = jax.lax.scan(body, ls, w)
+        return ls, infos  # infos: (W, 16)
+
+    return wstep
+
+
 class LIOPipeline:
     """Host-side driver: IMU init bookkeeping + jitted scan ticks.
 
@@ -205,15 +259,26 @@ class LIOPipeline:
 
     MAX_INI_COUNT = 10  # IMU_Processing.hpp:4
 
-    def __init__(self, cfg: LIOConfig, pipelined: bool = False):
+    def __init__(self, cfg: LIOConfig, pipelined: bool = False,
+                 window: int = 1):
         """pipelined=True overlaps the device->host pose readback with the
         next scan's compute: process_scan then returns the PREVIOUS scan's
         result (one-scan latency on the odometry stream, as a ROS
         subscriber would see anyway).  The readback round trip costs
-        ~30 ms on the remote-TPU path, so hiding it matters."""
+        ~30 ms on the remote-TPU path, so hiding it matters.
+
+        window=W > 1 batches W sequential scans into ONE device program
+        (make_window_step_fn) — results come back W scans late, one
+        readback per window.  This is the offline/throughput mode; the
+        per-scan odometry stream (trajectory, returned dicts) is
+        identical, just delayed."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
-        self._step = make_step_fn(cfg)
+        self.window = int(window)
+        self._step = make_step_fn(cfg) if self.window == 1 else None
+        self._wstep = (
+            make_window_step_fn(cfg, self.window) if self.window > 1 else None
+        )
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
         self.inited = False
@@ -223,6 +288,9 @@ class LIOPipeline:
         self.trajectory: list[np.ndarray] = []
         self.pipelined = pipelined
         self._pending_info = None
+        self._wbuf: list[tuple] = []  # buffered scans of the open window
+        self._pending_w: tuple | None = None  # (infos handle, n_valid)
+        self._results: list[dict] = []  # completed per-scan dicts (FIFO)
 
     # -- init ---------------------------------------------------------------
     def _make_ls(self, x: State, P) -> LIOState:
@@ -301,31 +369,8 @@ class LIOPipeline:
             del init_done
             return None
 
-        sh = self.cfg.shapes
-        n = len(pts)
-        n_pad = sh.n_raw
-        if n > n_pad:
-            stride = -(-n // n_pad)
-            pts, pt_t = pts[::stride][:n_pad], pt_t[::stride][:n_pad]
-            n = len(pts)
-        P = np.zeros((n_pad, 3), self.dtype)
-        T = np.zeros(n_pad, self.dtype)
-        V = np.zeros(n_pad, bool)
-        P[:n], T[:n], V[:n] = pts, pt_t, True
-
-        m_imu = sh.n_imu
-        k = min(len(imu_acc), m_imu)
-        A = np.zeros((m_imu, 3), self.dtype)
-        G = np.zeros((m_imu, 3), self.dtype)
-        Tt = np.full(m_imu, np.inf, self.dtype)
-        Mk = np.zeros(m_imu, bool)
-        A[:k], G[:k], Tt[:k], Mk[:k] = (
-            imu_acc[:k], imu_gyr[:k], imu_t[:k], True,
-        )
-        batch = imu.ImuBatch(
-            acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
-            mask=jnp.asarray(Mk),
-        )
+        P, T, V = self._pad_points(pts, pt_t)
+        A, G, Tt, Mk = self._pad_imu(imu_acc, imu_gyr, imu_t)
 
         # periodic map compaction (recontructIKdTree analog,
         # laserMapping.cpp:612-669): rebuild when the tombstone fraction
@@ -343,6 +388,19 @@ class LIOPipeline:
             if self.last_scan_end_abs is not None
             else 0.0
         )
+        self.last_scan_end_abs = scan_beg_abs + scan_end_t
+
+        if self.window > 1:
+            self._wbuf.append((P, T, V, A, G, Tt, Mk,
+                               last_end_rel, scan_end_t))
+            if len(self._wbuf) == self.window:
+                self._dispatch_window()
+            return self._results.pop(0) if self._results else None
+
+        batch = imu.ImuBatch(
+            acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
+            mask=jnp.asarray(Mk),
+        )
         self.ls, info_vec = self._step(
             self.ls,
             jnp.asarray(P),
@@ -353,13 +411,41 @@ class LIOPipeline:
             jnp.asarray(scan_end_t, self.dtype),
             jnp.asarray(self.acc_norm, self.dtype),
         )
-        self.last_scan_end_abs = scan_beg_abs + scan_end_t
         if self.pipelined:
             prev, self._pending_info = self._pending_info, info_vec
             if prev is None:
                 return None
             info_vec = prev
-        v = np.asarray(info_vec)  # single flat readback
+        return self._record(np.asarray(info_vec))  # single flat readback
+
+    # -- padding helpers ------------------------------------------------------
+    def _pad_points(self, pts, pt_t):
+        sh = self.cfg.shapes
+        n = len(pts)
+        n_pad = sh.n_raw
+        if n > n_pad:
+            stride = -(-n // n_pad)
+            pts, pt_t = pts[::stride][:n_pad], pt_t[::stride][:n_pad]
+            n = len(pts)
+        P = np.zeros((n_pad, 3), self.dtype)
+        T = np.zeros(n_pad, self.dtype)
+        V = np.zeros(n_pad, bool)
+        P[:n], T[:n], V[:n] = pts, pt_t, True
+        return P, T, V
+
+    def _pad_imu(self, imu_acc, imu_gyr, imu_t):
+        m_imu = self.cfg.shapes.n_imu
+        k = min(len(imu_acc), m_imu)
+        A = np.zeros((m_imu, 3), self.dtype)
+        G = np.zeros((m_imu, 3), self.dtype)
+        Tt = np.full(m_imu, np.inf, self.dtype)
+        Mk = np.zeros(m_imu, bool)
+        A[:k], G[:k], Tt[:k], Mk[:k] = (
+            imu_acc[:k], imu_gyr[:k], imu_t[:k], True,
+        )
+        return A, G, Tt, Mk
+
+    def _record(self, v: np.ndarray) -> dict:
         out = {
             "pos": v[0:3],
             "quat": v[3:7],
@@ -369,17 +455,65 @@ class LIOPipeline:
         self.trajectory.append(v[0:7].copy())
         return out
 
+    # -- window mode ----------------------------------------------------------
+    def _dispatch_window(self):
+        """Launch the buffered scans as one W-scan device program."""
+        W = self.window
+        buf, self._wbuf = self._wbuf, []
+        n_valid = len(buf)
+        while len(buf) < W:  # pad the tail (flush of a partial window)
+            z = buf[-1]
+            buf.append(tuple(np.zeros_like(a) if isinstance(a, np.ndarray)
+                             else 0.0 for a in z))
+        cols = list(zip(*buf))
+        win = WindowInputs(
+            pts=jnp.asarray(np.stack(cols[0])),
+            pt_t=jnp.asarray(np.stack(cols[1])),
+            pt_valid=jnp.asarray(np.stack(cols[2])),
+            imu_acc=jnp.asarray(np.stack(cols[3])),
+            imu_gyr=jnp.asarray(np.stack(cols[4])),
+            imu_t=jnp.asarray(np.stack(cols[5])),
+            imu_mask=jnp.asarray(np.stack(cols[6])),
+            last_end_rel=jnp.asarray(np.array(cols[7], self.dtype)),
+            scan_end_t=jnp.asarray(np.array(cols[8], self.dtype)),
+            scan_valid=jnp.asarray(
+                np.arange(W) < n_valid
+            ),
+        )
+        self.ls, infos = self._wstep(
+            self.ls, win, jnp.asarray(self.acc_norm, self.dtype)
+        )
+        pending = (infos, n_valid)
+        if self.pipelined:
+            prev, self._pending_w = self._pending_w, pending
+        else:
+            prev, self._pending_w = pending, None
+        if prev is not None:
+            self._consume_window(prev)
+
+    def _consume_window(self, pending):
+        infos, n_valid = pending
+        v = np.asarray(infos)  # ONE readback for the whole window
+        for i in range(n_valid):
+            self._results.append(self._record(v[i]))
+
     def flush(self):
-        """Drain the pipelined readback (call after the last scan)."""
+        """Drain buffered scans and pipelined readbacks (call at end).
+
+        Returns the final scan's result dict (or None if nothing pending);
+        all drained results are appended to `trajectory` in order.
+        """
+        if self.window > 1:
+            if self._wbuf:
+                self._dispatch_window()
+            if self._pending_w is not None:
+                p, self._pending_w = self._pending_w, None
+                self._consume_window(p)
+            out = self._results[-1] if self._results else None
+            self._results = []
+            return out
         if self._pending_info is None:
             return None
         v = np.asarray(self._pending_info)
         self._pending_info = None
-        out = {
-            "pos": v[0:3],
-            "quat": v[3:7],
-            "n_ds": int(v[7]),
-            "map_voxels": int(v[8]),
-        }
-        self.trajectory.append(v[0:7].copy())
-        return out
+        return self._record(v)

@@ -72,6 +72,30 @@ def test_lio_tracks_synthetic_trajectory():
 
 
 @pytest.mark.slow
+def test_windowed_step_matches_per_scan():
+    """window=3 (one device program per 3 scans, lax.scan inside) must
+    reproduce the per-scan path bit-for-bit — same recurrence, same math;
+    also exercises the partial-window flush (7 scans -> 3+3+1)."""
+    groups = make_lio_sequence(
+        duration=1.8, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=9,
+        noise=0.004, traj=Trajectory(t_still=0.5, speed=2.0),
+    )
+    p1 = LIOPipeline(small_cfg())
+    pw = LIOPipeline(small_cfg(), window=3)
+    for g in groups:
+        args = (g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+                g["scan_beg_abs"], g["scan_end_t"])
+        p1.process_scan(*args)
+        pw.process_scan(*args)
+    p1.flush()
+    pw.flush()
+    t1 = np.array(p1.trajectory)
+    tw = np.array(pw.trajectory)
+    assert t1.shape == tw.shape and len(t1) > 5
+    np.testing.assert_allclose(tw, t1, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_lio_stationary_stays_put():
     groups = make_lio_sequence(
         duration=2.5, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=5,
