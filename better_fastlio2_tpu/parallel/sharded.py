@@ -40,6 +40,9 @@ __all__ = [
     "sharded_update_step",
     "sharded_posegraph_hvp",
     "sharded_gn_step",
+    "make_sharded_map",
+    "sharded_map_insert",
+    "sharded_map_knn",
 ]
 
 
@@ -127,6 +130,148 @@ def sharded_update_step(mesh: Mesh, cfg=None, axis: str = "dp"):
         mesh=mesh,
         in_specs=(xspec, P(), mspec, P(axis), P(axis)),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded voxel map (SURVEY.md P3): the map's voxel blocks distributed
+# across chips.  Ownership is a pure function of the voxel coordinates
+# (an independent hash, so table-slot placement and ownership don't
+# correlate); every device holds a full-size VoxelHashMap pytree whose
+# leading (slot) axis is its OWN shard — aggregate capacity scales
+# linearly with the device count, the HBM per chip stays constant.
+#
+#   insert: the scan batch is replicated; each device masks the batch to
+#           voxels it owns and runs the ordinary single-chip insert on
+#           its local table.  ZERO inter-chip communication.
+#   kNN:    queries are replicated; each device searches the (up to 27)
+#           neighborhood cells it owns, reduces to a local per-query
+#           top-k, and an all_gather + re-top-k merges the per-device
+#           partials — (N, k) * 16 bytes * D over ICI, ~2 MB at N=16k,
+#           D=8.  Exactness: the union of per-device candidate cells is
+#           the full neighborhood, so the merged top-k equals the
+#           single-chip result.
+# ---------------------------------------------------------------------------
+
+
+def _owner_of(ijk: jax.Array, n_dev: int) -> jax.Array:
+    """Owning device of a voxel coord — independent of the slot hash
+    (different prime mixing + avalanche shift so ownership and in-table
+    placement decorrelate)."""
+    import numpy as np
+
+    c0, c1, c2 = (jnp.int32(np.uint32(c).astype(np.int32))
+                  for c in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D))
+    h = ijk[..., 0] * c0 ^ ijk[..., 1] * c1 ^ ijk[..., 2] * c2
+    h = (h ^ (h >> 13)) & 0x7FFFFFFF
+    return h % n_dev
+
+
+def make_sharded_map(
+    mesh: Mesh,
+    capacity_log2_per_dev: int = 18,
+    bucket: int = 4,
+    voxel_size: float = 0.5,
+    dtype=jnp.float32,
+    axis: str = "dp",
+) -> voxel_hash.VoxelHashMap:
+    """Allocate an empty device-sharded map: a VoxelHashMap whose arrays
+    have a leading axis of D local tables, sharded one-per-device.
+    (No dense torus index in sharded mode: the probe path covers lookup
+    and keeps per-chip HBM flat.)"""
+    n_dev = mesh.devices.size
+    local = voxel_hash.make_map(
+        capacity_log2=capacity_log2_per_dev, bucket=bucket,
+        voxel_size=voxel_size, dtype=dtype, dense_log2=None,
+    )
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), local
+    )
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh) if a.ndim > 0 else a, stacked
+    )
+
+
+def sharded_map_insert(mesh: Mesh, axis: str = "dp", max_probe: int = 16):
+    """insert(m_sharded, pts_world (N,3) replicated, valid (N,)) — each
+    device claims only its owned voxels; no communication."""
+    n_dev = mesh.devices.size
+
+    def local(m, pts_world, valid):
+        m = jax.tree_util.tree_map(lambda a: a[0], m)  # local table
+        me = jax.lax.axis_index(axis)
+        ijk = voxel_hash._voxel_of(pts_world, m.voxel_size)
+        mine = valid & (_owner_of(ijk, n_dev) == me)
+        m2 = voxel_hash.insert(m, pts_world, mine, max_probe=max_probe)
+        return jax.tree_util.tree_map(lambda a: a[None], m2)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def sharded_map_knn(
+    mesh: Mesh,
+    axis: str = "dp",
+    k: int = 5,
+    max_probe: int = 16,
+    n_neighbors: int = 27,
+):
+    """knn(m_sharded, queries (N,3) replicated) ->
+    (neighbors (N,k,3), d2 (N,k), ok (N,k)) replicated.
+
+    Per-device local search over owned cells, then an all_gather +
+    re-top-k merge — the multi-chip Nearest_Search replacement."""
+    n_dev = mesh.devices.size
+    offs = voxel_hash._neighbor_offsets(n_neighbors)
+
+    def local(m, q):
+        m = jax.tree_util.tree_map(lambda a: a[0], m)
+        me = jax.lax.axis_index(axis)
+        N = q.shape[0]
+        B = m.bucket
+        dtype = m.points.dtype
+        BIG = jnp.asarray(1e17, dtype)
+
+        ijk = voxel_hash._voxel_of(q, m.voxel_size)
+        nb = ijk[:, None, :] + offs[None, :, :]  # (N, NB, 3)
+        mine = _owner_of(nb, n_dev) == me
+        slots = voxel_hash._lookup_slots(
+            m.key, nb.reshape(-1, 3), max_probe
+        ).reshape(N, -1)
+        slots = jnp.where(mine, slots, -1)
+
+        safe = jnp.maximum(slots, 0)
+        cand = m.points[safe]  # (N, NB, B, 3)
+        d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(slots[..., None] >= 0, d2, BIG)
+        NB = offs.shape[0]
+        neg, top_i = jax.lax.top_k(-d2.reshape(N, NB * B), k)
+        pts_k = jnp.take_along_axis(
+            cand.reshape(N, NB * B, 3), top_i[..., None], axis=1
+        )  # (N, k, 3)
+
+        # merge partials: (D, N, k) -> per-query top-k of D*k
+        all_d2 = jax.lax.all_gather(-neg, axis)  # (D, N, k)
+        all_pts = jax.lax.all_gather(pts_k, axis)  # (D, N, k, 3)
+        all_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(N, n_dev * k)
+        all_pts = jnp.moveaxis(all_pts, 0, 1).reshape(N, n_dev * k, 3)
+        negm, mi = jax.lax.top_k(-all_d2, k)
+        d2m = -negm
+        ptsm = jnp.take_along_axis(all_pts, mi[..., None], axis=1)
+        return ptsm, d2m, d2m < BIG
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
