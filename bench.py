@@ -64,7 +64,11 @@ def main():
     # ATE-neutral on this workload (0.2906 vs 0.2895 m) and saves a full
     # association (~13 ms); the default config keeps reference semantics
     cfg.ikdtree = IkdtreeConfig(max_iteration=4, filter_size_map_min=0.5,
-                                single_association=True)
+                                single_association=True,
+                                # moment-cache planes after a 5-NN warmup:
+                                # removes the candidate-point gather + top-k
+                                # from the steady-state association
+                                plane_cache=True, plane_cache_warmup=16)
 
     n_scans = 72
     window = 8  # scans per device program (amortises the ~30 ms
@@ -80,9 +84,14 @@ def main():
         traj=Trajectory(t_still=0.7, speed=3.0),
     ))
 
-    pipe = LIOPipeline(cfg, pipelined=True, window=window)
-    # warmup covers IMU init, jit compile (first window), and map growth
-    warmup = 3 * window
+    # quantized wire format: 2 transfers/window instead of ~10 (the
+    # transport pays ~20-25 ms latency per transfer at ~35 MB/s)
+    pipe = LIOPipeline(cfg, pipelined=True, window=window, quantized=True)
+    # warmup covers IMU init, map growth, and the jit compiles of BOTH
+    # window programs (the 5-NN warmup variant fires first, the
+    # plane-cache program compiles at its first post-warmup dispatch —
+    # scans 17-24 — so timing must start after that)
+    warmup = 5 * window
     t_start = None
     n_timed = 0
     for i, g in enumerate(groups):

@@ -27,6 +27,10 @@ class PreprocessConfig:
     scan_rate: int = 10
     point_filter_num: int = 1  # stride subsampling
     time_unit: int = 2  # 0 s, 1 ms, 2 us, 3 ns (preprocess.h:21-28)
+    # LOAM-style feature extraction before the filter (give_feature,
+    # preprocess.cpp:528; OFF in every reference config) — keeps plane
+    # features for the point-to-plane filter
+    feature_extract_enable: bool = False
 
 
 @dataclass
@@ -56,7 +60,15 @@ class IkdtreeConfig:
     kd_step: int = 40  # map rebuild cadence (recontructKdTree analog)
     recontruct_kdtree: bool = False
     filter_size_map_min: float = 0.2  # map voxel size
-    single_association: bool = False  # one kNN pass per scan (perf knob)  # map voxel size
+    single_association: bool = False  # one kNN pass per scan (perf knob)
+    # per-voxel moment-cache planes instead of 5-NN + esti_plane
+    # (plane_from_moments; the Faster-LIO/VoxelMap direction) — removes
+    # the candidate-point gather from the hot path
+    plane_cache: bool = False
+    # scans to run with the 5-NN path before switching to the plane
+    # cache: the n>=5 accumulated-points gate needs a few scans of map
+    # density (a young 7-cell union rejects ~70% of associations)
+    plane_cache_warmup: int = 12
 
 
 @dataclass
@@ -116,9 +128,12 @@ class LIOConfig:
             ("point_filter_num", "point_filter_num"),
             ("timestamp_unit", "time_unit"),
             ("time_unit", "time_unit"),
+            ("feature_extract_enable", "feature_extract_enable"),
         ]:
             if k_src in pre:
                 setattr(cfg.preprocess, k_dst, pre[k_src])
+        if "feature_extract_enable" in d:  # reference keeps it top-level
+            cfg.preprocess.feature_extract_enable = d["feature_extract_enable"]
         mp = d.get("mapping", {})
         for k_src, k_dst in [
             ("gyr_cov", "gyr_cov"),

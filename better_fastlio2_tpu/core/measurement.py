@@ -20,7 +20,8 @@ from ..utils import so3
 from .esikf import MeasurementOut
 from .state import State
 
-__all__ = ["plane_fit", "MeasureAux", "make_measure_fn", "transform_to_world"]
+__all__ = ["plane_fit", "plane_from_moments", "MeasureAux", "make_measure_fn",
+           "transform_to_world"]
 
 NUM_MATCH_POINTS = 5  # NN count (common_lib.h NUM_MATCH_POINTS)
 MAX_NN_DIST2 = 5.0  # 5th-NN gate: sq dist > 5 invalid (laserMapping.cpp:1909-1912)
@@ -28,11 +29,12 @@ PLANE_INLIER_THRESH = 0.1  # esti_plane threshold (laserMapping.cpp:1922)
 ROBUST_S_GATE = 0.9  # accept if s > 0.9 (laserMapping.cpp:1930)
 
 
-def _sym3_smallest_eigvec(C: jax.Array) -> jax.Array:
-    """Unit eigenvector of the smallest eigenvalue of batched symmetric
-    3x3 matrices, closed form (Cardano's trigonometric eigenvalues +
-    cross-product eigenvector extraction).  Branch-free; degenerate
-    inputs return an arbitrary unit vector (callers gate on residuals).
+def _sym3_smallest_eig(C: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(eigenvector, eigenvalue) of the smallest eigenvalue of batched
+    symmetric 3x3 matrices, closed form (Cardano's trigonometric
+    eigenvalues + cross-product eigenvector extraction).  Branch-free;
+    degenerate inputs return an arbitrary unit vector (callers gate on
+    residuals).
     """
     dtype = C.dtype
     a00, a11, a22 = C[..., 0, 0], C[..., 1, 1], C[..., 2, 2]
@@ -71,7 +73,12 @@ def _sym3_smallest_eigvec(C: jax.Array) -> jax.Array:
     )
     nrm = jnp.linalg.norm(best, axis=-1, keepdims=True)
     fallback = jnp.zeros_like(best).at[..., 2].set(1.0)
-    return jnp.where(nrm > 1e-20, best / jnp.maximum(nrm, 1e-20), fallback)
+    vec = jnp.where(nrm > 1e-20, best / jnp.maximum(nrm, 1e-20), fallback)
+    return vec, lam_min
+
+
+def _sym3_smallest_eigvec(C: jax.Array) -> jax.Array:
+    return _sym3_smallest_eig(C)[0]
 
 
 def plane_fit(
@@ -113,6 +120,84 @@ def plane_fit(
     return n, d, plane_ok
 
 
+def plane_from_moments(
+    m: voxel_hash.VoxelHashMap,
+    p_world: jax.Array,
+    valid: jax.Array,
+    max_probe: int = 16,
+    thresh: float = PLANE_INLIER_THRESH,
+    min_points: int = NUM_MATCH_POINTS,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-point plane from the map's per-voxel moment cache.
+
+    The TPU-fast alternative to 5-NN + esti_plane (the VoxelMap /
+    Faster-LIO direction the reference README recommends, README:266-267):
+    each query blends the accumulated point moments of its own voxel and
+    the 6 face neighbors — the union-of-points least-squares plane in
+    closed form, with NO candidate-point gather and NO top-k.  Gates:
+    >= `min_points` accumulated points (the NUM_MATCH_POINTS analog) and
+    rms point-plane distance sqrt(lam_min/n) <= `thresh` (the esti_plane
+    inlier-residual analog, laserMapping.cpp:1922 / common_lib.h:526-533).
+
+    Returns (normal (N,3), d (N,), plane_ok (N,)) with n·p + d = 0,
+    d >= 0 sign convention matching plane_fit.
+    """
+    assert m.mom is not None, "map must be allocated with moments=True"
+    dtype = m.points.dtype
+    vs = m.voxel_size
+    N = p_world.shape[0]
+
+    offs = voxel_hash._neighbor_offsets(7)  # own + 6 face neighbors
+    NB = offs.shape[0]
+    ijk = voxel_hash._voxel_of(p_world, vs)
+    nb = ijk[:, None, :] + offs[None, :, :]
+    if m.dense is not None:
+        slots = voxel_hash._dense_lookup(m.dense, nb)
+    else:
+        slots = voxel_hash._lookup_slots(
+            m.key, nb.reshape(-1, 3), max_probe
+        ).reshape(N, NB)
+
+    safe = jnp.maximum(slots, 0)
+    mom = m.mom[safe]  # (N, NB, 10)
+    mom = jnp.where(slots[..., None] >= 0, mom, 0.0)
+
+    # rebase each neighbor's corner-relative moments to the OWN cell's
+    # corner: delta = offs * vs (exact small constants), then
+    #   S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b
+    delta = offs.astype(dtype) * vs  # (NB, 3)
+    n_c = mom[..., 0]  # (N, NB)
+    S1 = mom[..., 1:4]  # (N, NB, 3)
+    iu = jnp.array([[0, 1, 2], [1, 3, 4], [2, 4, 5]])
+    S2 = mom[..., 4:10][..., iu]  # (N, NB, 3, 3)
+    d_ = delta[None]  # (1, NB, 3)
+    S1r = S1 + n_c[..., None] * d_
+    S2r = (
+        S2
+        + d_[..., :, None] * S1[..., None, :]
+        + d_[..., None, :] * S1[..., :, None]
+        + n_c[..., None, None] * d_[..., :, None] * d_[..., None, :]
+    )
+
+    n_tot = jnp.sum(n_c, axis=1)  # (N,)
+    S1t = jnp.sum(S1r, axis=1)  # (N, 3)
+    S2t = jnp.sum(S2r, axis=1)  # (N, 3, 3)
+
+    nn = jnp.maximum(n_tot, 1.0)
+    c = S1t / nn[:, None]  # centroid, own-corner frame
+    Cov = S2t - S1t[:, :, None] * c[:, None, :]  # scatter matrix
+    nvec, lam_min = _sym3_smallest_eig(Cov)
+    rms = jnp.sqrt(jnp.maximum(lam_min, 0.0) / nn)
+
+    centroid_w = c + ijk.astype(dtype) * vs
+    d = -jnp.einsum("ni,ni->n", nvec, centroid_w)
+    sgn = jnp.where(d < 0, -1.0, 1.0)
+    nvec = nvec * sgn[:, None]
+    d = d * sgn
+    plane_ok = valid & (n_tot >= min_points) & (rms <= thresh)
+    return nvec, d, plane_ok
+
+
 class MeasureAux(NamedTuple):
     """Association cache threaded through ESIKF iterations — the analog
     of Nearest_Points / point_selected_surf persisting across h_share_model
@@ -145,6 +230,7 @@ def make_measure_fn(
     n_neighbors: int = 27,
     single_association: bool = False,
     max_live: int = 0,
+    plane_cache: bool = False,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -154,7 +240,9 @@ def make_measure_fn(
     single_association=True the kNN association runs ONCE per scan (the
     post-convergence re-search is skipped — roughly halves kNN cost at a
     small accuracy cost; associations rarely change across iterations at
-    scan rate).
+    scan rate).  plane_cache=True replaces the 5-NN + plane fit with the
+    per-voxel moment-cache plane (plane_from_moments) — the map must be
+    allocated with moments=True.
     """
     N = pts_body.shape[0]
     dtype = pts_body.dtype
@@ -163,6 +251,11 @@ def make_measure_fn(
         p_world = transform_to_world(s, pts_body)
 
         def do_search(_):
+            if plane_cache:
+                n, d, plane_ok = plane_from_moments(
+                    m, p_world, pts_valid, max_probe=max_probe
+                )
+                return MeasureAux(n, d, plane_ok, jnp.array(True))
             nb, d2, ok = voxel_hash.knn(
                 m, p_world, k=NUM_MATCH_POINTS, max_probe=max_probe,
                 n_neighbors=n_neighbors, max_live=max_live,

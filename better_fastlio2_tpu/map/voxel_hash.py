@@ -82,6 +82,17 @@ class VoxelHashMap(NamedTuple):
     key: jax.Array  # (C,) int32
     count: jax.Array  # (C,) int32
     points: jax.Array  # (C, B, 3) float
+    # Optional per-voxel point moments for the plane-cache measurement
+    # path (VoxelMap / Faster-LIO direction, recommended by the
+    # reference's own README:266-267): rows are
+    #   [n, Σq_x, Σq_y, Σq_z, Σq_xx, Σq_xy, Σq_xz, Σq_yy, Σq_yz, Σq_zz]
+    # with q = p - voxel_corner (corner-relative coordinates keep the
+    # second moments conditioned in f32 at any world position; raw
+    # world-coordinate Σppᵀ cancels catastrophically ~100 m out).
+    # Accumulated over ALL points ever inserted into the voxel — also the
+    # ones dropped when the B-point bucket is full — so plane estimates
+    # keep refining after storage saturates.  None disables.
+    mom: jax.Array | None  # (C, 10) float or None
     # Optional dense torus-grid lookup index: (G, 2) int32 rows of
     # (packed key, slot), addressed by voxel coords wrapped to the grid
     # dims.  Turns the kNN slot lookup into ONE 8-byte row gather per
@@ -125,12 +136,15 @@ def make_map(
     voxel_size: float = 0.5,
     dtype=jnp.float32,
     dense_log2: tuple[int, int, int] | None = None,
+    moments: bool = False,
 ) -> VoxelHashMap:
     """Allocate an empty map. Capacity is 2**capacity_log2 slots.
 
     dense_log2=(lx,ly,lz) adds the dense torus lookup index of
     2**lx x 2**ly x 2**lz cells (e.g. (9,9,7) = 512x512x128 = 268 MB,
     spanning 204.8x204.8x51.2 m at 0.4 m voxels before wrap-aliasing).
+    moments=True adds the (C, 10) per-voxel moment accumulator for the
+    plane-cache measurement path.
     """
     C = 1 << capacity_log2
     dense = (
@@ -143,6 +157,7 @@ def make_map(
         key=jnp.zeros(C, jnp.int32),
         count=jnp.zeros(C, jnp.int32),
         points=jnp.full((C, bucket, 3), _SENTINEL, dtype),
+        mom=jnp.zeros((C, 10), dtype) if moments else None,
         dense=dense,
         voxel_size=jnp.asarray(voxel_size, dtype),
     )
@@ -338,6 +353,31 @@ def insert(
     )
     count = jnp.minimum(m.count + add, B)
 
+    # moment accumulation: EVERY resolved point contributes (also rows
+    # dropped by the full bucket), in voxel-corner-relative coordinates
+    mom = m.mom
+    if mom is not None:
+        mok = (slot_all >= 0) & valid_s
+        q = pts_s - ijk_s.astype(pts_s.dtype) * m.voxel_size
+        one = mok.astype(pts_s.dtype)
+        rows = jnp.concatenate(
+            [
+                one[:, None],
+                q * one[:, None],
+                jnp.stack(
+                    [
+                        q[:, 0] * q[:, 0], q[:, 0] * q[:, 1],
+                        q[:, 0] * q[:, 2], q[:, 1] * q[:, 1],
+                        q[:, 1] * q[:, 2], q[:, 2] * q[:, 2],
+                    ],
+                    axis=-1,
+                )
+                * one[:, None],
+            ],
+            axis=-1,
+        )
+        mom = mom.at[jnp.where(mok, slot_all, C)].add(rows, mode="drop")
+
     # refresh the dense index for every head that resolved a slot (newly
     # claimed or re-found — re-found rows repair entries lost to torus
     # aliasing); one 2-int32 row scatter per head
@@ -350,7 +390,7 @@ def insert(
         dense = dense.at[ix, ijk_s[:, 1] & (Gy - 1),
                          ijk_s[:, 2] & (Gz - 1)].set(row, mode="drop")
 
-    return VoxelHashMap(key_arr, count, points, dense, m.voxel_size)
+    return VoxelHashMap(key_arr, count, points, mom, dense, m.voxel_size)
 
 
 def _neighbor_offsets(n_neighbors: int) -> jnp.ndarray:
@@ -588,6 +628,8 @@ def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHash
     return m._replace(
         key=jnp.where(kill, _KEY_TOMB, m.key),
         count=jnp.where(kill, 0, m.count),
+        mom=(jnp.where(kill[:, None], 0.0, m.mom)
+             if m.mom is not None else None),
         dense=dense,
     )
 
@@ -601,7 +643,8 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
     cadence (recontructIKdTree, laserMapping.cpp:612-669).
     """
     C, B = m.capacity, m.bucket
-    live = ((m.key & _LIVE_BIT) != 0)[:, None] & (
+    live_slot = (m.key & _LIVE_BIT) != 0
+    live = live_slot[:, None] & (
         jnp.arange(B)[None, :] < m.count[:, None]
     )
     fresh = make_map(
@@ -614,10 +657,20 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
             if m.dense is not None
             else None
         ),
+        moments=m.mom is not None,
     )
-    return insert(
+    out = insert(
         fresh,
         m.points.reshape(C * B, 3),
         live.reshape(C * B),
         max_probe=max_probe,
     )
+    if m.mom is not None:
+        # carry the FULL accumulated moments across (re-inserting only the
+        # <=B stored points would forget the accumulation of dropped ones):
+        # overwrite each surviving voxel's fresh moments with its old row
+        new_slot = _lookup_slots(out.key, m.coords, max_probe)
+        ok = live_slot & (new_slot >= 0)
+        mom = out.mom.at[jnp.where(ok, new_slot, C)].set(m.mom, mode="drop")
+        out = out._replace(mom=mom)
+    return out

@@ -28,7 +28,8 @@ from ..map import voxel_hash
 from ..utils import se3, so3
 from ..core.measurement import plane_fit
 
-__all__ = ["ICPResult", "icp_point2point", "icp_point2plane", "icp_multiscale", "fitness_score"]
+__all__ = ["ICPResult", "icp_point2point", "icp_point2plane",
+           "icp_point2plane_aa", "icp_multiscale", "fitness_score"]
 
 
 class ICPResult(NamedTuple):
@@ -135,6 +136,126 @@ def icp_point2plane(
         return se3.compose(delta, pose), None
 
     pose, _ = jax.lax.scan(body, init_pose, None, length=iters)
+    fit, n_in = fitness_score(m, se3.apply(pose, source), s_valid, max_corr)
+    return ICPResult(pose, fit, n_in, jnp.isfinite(fit))
+
+
+def _pose_to_u(pose: jax.Array) -> jax.Array:
+    """Chart for Anderson mixing: u = [t (3), log R (3)]."""
+    return jnp.concatenate([se3.trans(pose), so3.quat_log(se3.rot(pose))])
+
+
+def _u_to_pose(u: jax.Array) -> jax.Array:
+    return se3.make(so3.quat_exp(u[3:6]), u[0:3])
+
+
+@partial(jax.jit, static_argnames=("iters", "cap_log2", "bucket",
+                                   "welsch_sigma", "aa_depth"))
+def icp_point2plane_aa(
+    source: jax.Array,
+    s_valid: jax.Array,
+    target: jax.Array,
+    t_valid: jax.Array,
+    init_pose: jax.Array,
+    max_corr: float = 5.0,
+    iters: int = 20,
+    voxel: float = 1.0,
+    welsch_sigma: float = 0.5,
+    cap_log2: int = 15,
+    bucket: int = 8,
+    aa_depth: int = 5,
+) -> ICPResult:
+    """Anderson-accelerated robust point-to-plane ICP (the FRICP
+    algorithm family: Welsch kernel + safeguarded Anderson acceleration,
+    reference: include/FRICP-toolkit/FRICP.h point_to_plane +
+    AndersonAcceleration.h).
+
+    The ICP fixed-point map G(u) is one association + GN step in the
+    6-dof chart u = [t, log R]; Anderson mixing extrapolates from the
+    last `aa_depth` residuals f_k = G(u_k) - u_k.  Safeguarding follows
+    FRICP: the robust energy at the accelerated iterate is compared
+    against the previous accepted energy — on increase the iterate rolls
+    back to the last un-accelerated GN step and the mixing history
+    resets (FRICP.h:300-335 energy check).
+    """
+    m = _build_target_map(target, t_valid, voxel, bucket, cap_log2)
+    dtype = source.dtype
+    BIG = jnp.asarray(1e30, dtype)
+
+    def assoc_energy_step(pose):
+        """One association at `pose`: robust energy + the GN step pose."""
+        src_w = se3.apply(pose, source)
+        nb, d2, ok = voxel_hash.knn(m, src_w, k=5, chunk=source.shape[0])
+        nn_ok = jnp.all(ok, axis=-1) & s_valid & (
+            d2[:, 4] <= max_corr * max_corr
+        )
+        n, dpl, plane_ok = plane_fit(nb, nn_ok, thresh=0.2)
+        r = jnp.einsum("ni,ni->n", n, src_w) + dpl
+        base = plane_ok.astype(dtype)
+        if welsch_sigma > 0:
+            s2 = 2.0 * welsch_sigma * welsch_sigma
+            w = base * jnp.exp(-(r * r) / s2)
+            # Welsch energy: sum (1 - exp(-r^2/2s^2)) over valid rows
+            energy = jnp.sum(base * (1.0 - jnp.exp(-(r * r) / s2)))
+        else:
+            w = base
+            energy = jnp.sum(base * r * r)
+        nval = jnp.maximum(jnp.sum(base), 1.0)
+        energy = energy / nval
+        J = jnp.concatenate([n, jnp.cross(src_w, n)], axis=-1)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + 1e-6 * jnp.eye(6, dtype=dtype)
+        b = -(Jw.T @ r)
+        dx = jnp.linalg.solve(H, b)
+        pose_gn = se3.compose(se3.make(so3.quat_exp(dx[3:6]), dx[0:3]), pose)
+        return energy, pose_gn
+
+    D = aa_depth
+
+    def body(c, _):
+        u_cur, fallback_u, e_prev, Us, Fs, hist_n = c
+        energy, pose_gn = assoc_energy_step(_u_to_pose(u_cur))
+        u_gn = _pose_to_u(pose_gn)
+
+        # safeguard: if the (accelerated) current iterate raised the
+        # energy, roll back to the last accepted GN pose and reset mixing
+        bad = energy > e_prev
+        u_base = jnp.where(bad, fallback_u, u_gn)
+        f_base = u_base - jnp.where(bad, fallback_u, u_cur)
+        hist_n = jnp.where(bad, 0, hist_n)
+        e_acc = jnp.where(bad, e_prev, energy)
+
+        # push (u_base, f_base) into the ring history
+        Us = jnp.roll(Us, 1, axis=0).at[0].set(u_base)
+        Fs = jnp.roll(Fs, 1, axis=0).at[0].set(f_base)
+        hist_n = jnp.minimum(hist_n + 1, D)
+
+        # Anderson mixing over dF columns: minimize ||f0 - dF gamma||
+        mask = (jnp.arange(D - 1) < (hist_n - 1)).astype(dtype)
+        dF = (Fs[0][None] - Fs[1:]) * mask[:, None]  # (D-1, 6)
+        dU = (Us[0][None] - Us[1:]) * mask[:, None]
+        A = dF @ dF.T + 1e-10 * jnp.eye(D - 1, dtype=dtype)
+        gamma = jnp.linalg.solve(A, dF @ Fs[0])
+        u_aa = Us[0] + Fs[0] - (dU + dF).T @ gamma
+        u_next = jnp.where(hist_n > 1, u_aa, u_base + 0.0)
+
+        return (u_next, u_gn, e_acc, Us, Fs, hist_n), energy
+
+    u0 = _pose_to_u(init_pose)
+    c0 = (
+        u0,
+        u0,
+        BIG,
+        jnp.zeros((D, 6), dtype),
+        jnp.zeros((D, 6), dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (u_fin, fallback_u, e_fin, *_), energies = jax.lax.scan(
+        body, c0, None, length=iters
+    )
+    # the last accepted GN pose is the safe output (the final u may be an
+    # unevaluated extrapolation)
+    pose = _u_to_pose(fallback_u)
     fit, n_in = fitness_score(m, se3.apply(pose, source), s_valid, max_corr)
     return ICPResult(pose, fit, n_in, jnp.isfinite(fit))
 

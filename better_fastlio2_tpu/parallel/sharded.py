@@ -122,7 +122,7 @@ def sharded_update_step(mesh: Mesh, cfg=None, axis: str = "dp"):
     # is a single-chip lookup accelerator; replicating 268 MB per chip
     # buys nothing the probe path doesn't already do here
     mspec = voxel_hash.VoxelHashMap(
-        key=P(), count=P(), points=P(), dense=None, voxel_size=P()
+        key=P(), count=P(), points=P(), mom=None, dense=None, voxel_size=P()
     )
     xspec = State(*([P()] * 8))
     return jax.shard_map(

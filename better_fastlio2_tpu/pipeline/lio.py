@@ -83,8 +83,12 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range):
                        cube_init=jnp.array(True))
 
 
-def _make_step_core(cfg: LIOConfig):
+def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
     """Build the (traceable, un-jitted) one-scan tick body.
+
+    plane_cache overrides cfg.ikdtree.plane_cache when not None (the
+    pipeline compiles a 5-NN warmup variant alongside the plane-cache
+    step; see LIOPipeline).
 
     core(ls, pts, pt_t, pt_valid, imu_batch, last_end_rel, scan_end_t,
          acc_norm) -> (ls', info_vec)
@@ -138,6 +142,11 @@ def _make_step_core(cfg: LIOConfig):
             single_association=getattr(cfg.ikdtree, "single_association",
                                        False),
             max_live=getattr(sh, "knn_max_live", 0),
+            plane_cache=(
+                getattr(cfg.ikdtree, "plane_cache", False)
+                if plane_cache is None
+                else plane_cache
+            ),
         )
 
         def do_update(_):
@@ -193,9 +202,9 @@ def _make_step_core(cfg: LIOConfig):
     return step
 
 
-def make_step_fn(cfg: LIOConfig):
+def make_step_fn(cfg: LIOConfig, plane_cache: bool | None = None):
     """Jitted single-scan tick (see _make_step_core for the signature)."""
-    return jax.jit(_make_step_core(cfg), donate_argnums=(0,))
+    return jax.jit(_make_step_core(cfg, plane_cache), donate_argnums=(0,))
 
 
 class WindowInputs(NamedTuple):
@@ -210,10 +219,29 @@ class WindowInputs(NamedTuple):
     imu_mask: jax.Array  # (W, m_imu)
     last_end_rel: jax.Array  # (W,)
     scan_end_t: jax.Array  # (W,)
-    scan_valid: jax.Array  # (W,) bool — padded window tail entries skip
+    scan_valid: jax.Array  # (W,) bool
 
 
-def make_window_step_fn(cfg: LIOConfig, window: int):
+# Quantized wire format for the windowed step: the remote-TPU transport
+# costs ~20-25 ms LATENCY per host->device transfer and ~35 MB/s, so the
+# window's inputs ship as TWO buffers (tools/profile_micro3.py):
+#   bulk (W, 4*n_raw) uint16 — cols [0,3n): point coords as int16 bits,
+#        quantized by POS_SCALE (lidar frame, |p| < ~120 m -> 3.7 mm
+#        steps, below lidar noise); cols [3n,4n): per-point time as a
+#        uint16 fraction of the scan duration.
+#   meta (W, 8*m_imu + 4) f32 — imu acc|gyr|t|mask rows then
+#        [n_points, last_end_rel, scan_end_t, scan_valid].
+POS_SCALE = 120.0 / 32767.0  # ~3.66 mm/step, +-120 m range
+
+
+class QuantWindowInputs(NamedTuple):
+    bulk: jax.Array  # (W, 4*n_raw) uint16
+    meta: jax.Array  # (W, 8*m_imu + 4) f32 — padded window tail entries skip
+
+
+def make_window_step_fn(cfg: LIOConfig, window: int,
+                        plane_cache: bool | None = None,
+                        quantized: bool = False):
     """Jitted W-scan device loop: lax.scan of the tick inside ONE program.
 
     The remote-TPU transport costs ~1.4 ms per program launch and a
@@ -225,27 +253,68 @@ def make_window_step_fn(cfg: LIOConfig, window: int):
     the full filter state).  Latency grows by W scan periods — use
     window=1 for online/interactive runs, larger for offline throughput.
     """
-    core = _make_step_core(cfg)
+    core = _make_step_core(cfg, plane_cache)
+    n_raw = cfg.shapes.n_raw
+    m_imu = cfg.shapes.n_imu
+    dtype = jnp.dtype(cfg.dtype)
+
+    def body_of(xs, ls, acc_norm):
+        batch = imu.ImuBatch(acc=xs.imu_acc, gyr=xs.imu_gyr,
+                             t=xs.imu_t, mask=xs.imu_mask)
+
+        def run(ls):
+            return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
+                        xs.last_end_rel, xs.scan_end_t, acc_norm)
+
+        def skip(ls):
+            return ls, jnp.zeros(16, jnp.float32)
+
+        return jax.lax.cond(xs.scan_valid, run, skip, ls)
+
+    if not quantized:
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def wstep(ls: LIOState, w: WindowInputs, acc_norm: jax.Array):
+            def body(ls, xs):
+                return body_of(xs, ls, acc_norm)
+
+            ls, infos = jax.lax.scan(body, ls, w)
+            return ls, infos  # infos: (W, 16)
+
+        return wstep
 
     @partial(jax.jit, donate_argnums=(0,))
-    def wstep(ls: LIOState, w: WindowInputs, acc_norm: jax.Array):
-        def body(ls, xs):
-            batch = imu.ImuBatch(acc=xs.imu_acc, gyr=xs.imu_gyr,
-                                 t=xs.imu_t, mask=xs.imu_mask)
+    def wstep_q(ls: LIOState, q: QuantWindowInputs, acc_norm: jax.Array):
+        def body(ls, row):
+            bulk, meta = row
+            qp = jax.lax.bitcast_convert_type(
+                bulk[: 3 * n_raw], jnp.int16
+            ).astype(dtype).reshape(n_raw, 3)
+            n = meta[8 * m_imu + 0].astype(jnp.int32)
+            last_end_rel = meta[8 * m_imu + 1]
+            scan_end_t = meta[8 * m_imu + 2]
+            scan_valid = meta[8 * m_imu + 3] > 0.5
+            pts = qp * jnp.asarray(POS_SCALE, dtype)
+            pt_t = (
+                bulk[3 * n_raw: 4 * n_raw].astype(dtype)
+                * (scan_end_t / 65535.0)
+            )
+            pt_valid = jnp.arange(n_raw) < n
+            im = meta[: 8 * m_imu].reshape(m_imu, 8)
+            imu_t = jnp.where(im[:, 7] > 0.5, im[:, 6], jnp.inf)
+            xs = WindowInputs(
+                pts=pts, pt_t=pt_t, pt_valid=pt_valid,
+                imu_acc=im[:, 0:3], imu_gyr=im[:, 3:6],
+                imu_t=imu_t, imu_mask=im[:, 7] > 0.5,
+                last_end_rel=last_end_rel, scan_end_t=scan_end_t,
+                scan_valid=scan_valid,
+            )
+            return body_of(xs, ls, acc_norm)
 
-            def run(ls):
-                return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
-                            xs.last_end_rel, xs.scan_end_t, acc_norm)
+        ls, infos = jax.lax.scan(body, ls, (q.bulk, q.meta))
+        return ls, infos
 
-            def skip(ls):
-                return ls, jnp.zeros(16, jnp.float32)
-
-            return jax.lax.cond(xs.scan_valid, run, skip, ls)
-
-        ls, infos = jax.lax.scan(body, ls, w)
-        return ls, infos  # infos: (W, 16)
-
-    return wstep
+    return wstep_q
 
 
 class LIOPipeline:
@@ -260,7 +329,7 @@ class LIOPipeline:
     MAX_INI_COUNT = 10  # IMU_Processing.hpp:4
 
     def __init__(self, cfg: LIOConfig, pipelined: bool = False,
-                 window: int = 1):
+                 window: int = 1, quantized: bool = False):
         """pipelined=True overlaps the device->host pose readback with the
         next scan's compute: process_scan then returns the PREVIOUS scan's
         result (one-scan latency on the odometry stream, as a ROS
@@ -271,14 +340,40 @@ class LIOPipeline:
         (make_window_step_fn) — results come back W scans late, one
         readback per window.  This is the offline/throughput mode; the
         per-scan odometry stream (trajectory, returned dicts) is
-        identical, just delayed."""
+        identical, just delayed.
+
+        quantized=True (window mode only) ships window inputs as the
+        compact uint16 wire format (QuantWindowInputs): ~2x fewer bytes
+        and 2 transfers per window instead of ~10 — the remote-TPU
+        transport pays ~20-25 ms latency PER transfer at ~35 MB/s, which
+        otherwise rivals the compute itself.  Quantization steps are
+        3.7 mm (points) / scan_duration/65535 (times) — below sensor
+        noise."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.window = int(window)
+        self.quantized = bool(quantized) and self.window > 1
         self._step = make_step_fn(cfg) if self.window == 1 else None
         self._wstep = (
-            make_window_step_fn(cfg, self.window) if self.window > 1 else None
+            make_window_step_fn(cfg, self.window, quantized=self.quantized)
+            if self.window > 1 else None
         )
+        # plane-cache warmup: run the 5-NN association for the first
+        # `plane_cache_warmup` scans while the moment cache densifies
+        # (its n>=5 gate starves on a young map), then switch programs
+        self._warmup_scans = (
+            int(getattr(cfg.ikdtree, "plane_cache_warmup", 0))
+            if getattr(cfg.ikdtree, "plane_cache", False)
+            else 0
+        )
+        if self._warmup_scans > 0:
+            if self.window == 1:
+                self._step_warm = make_step_fn(cfg, plane_cache=False)
+            else:
+                self._wstep_warm = make_window_step_fn(
+                    cfg, self.window, plane_cache=False,
+                    quantized=self.quantized,
+                )
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
         self.inited = False
@@ -301,6 +396,7 @@ class LIOPipeline:
             voxel_size=self.cfg.ikdtree.filter_size_map_min,
             dtype=self.dtype,
             dense_log2=getattr(sh, "map_dense_log2", None),
+            moments=getattr(self.cfg.ikdtree, "plane_cache", False),
         )
         # NB: distinct arrays per field — the step donates its input state,
         # and XLA rejects donating one buffer under two aliases.
@@ -369,6 +465,14 @@ class LIOPipeline:
             del init_done
             return None
 
+        if getattr(self.cfg.preprocess, "feature_extract_enable", False):
+            from ..io.features import feature_filter
+
+            pts, pt_t = feature_filter(
+                np.asarray(pts, np.float32), np.asarray(pt_t),
+                n_rings=self.cfg.preprocess.scan_line,
+            )
+
         P, T, V = self._pad_points(pts, pt_t)
         A, G, Tt, Mk = self._pad_imu(imu_acc, imu_gyr, imu_t)
 
@@ -391,8 +495,12 @@ class LIOPipeline:
         self.last_scan_end_abs = scan_beg_abs + scan_end_t
 
         if self.window > 1:
-            self._wbuf.append((P, T, V, A, G, Tt, Mk,
-                               last_end_rel, scan_end_t))
+            if self.quantized:
+                self._wbuf.append(self._pack_quant(
+                    P, T, V, A, G, Tt, Mk, last_end_rel, scan_end_t))
+            else:
+                self._wbuf.append((P, T, V, A, G, Tt, Mk,
+                                   last_end_rel, scan_end_t))
             if len(self._wbuf) == self.window:
                 self._dispatch_window()
             return self._results.pop(0) if self._results else None
@@ -401,7 +509,12 @@ class LIOPipeline:
             acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
             mask=jnp.asarray(Mk),
         )
-        self.ls, info_vec = self._step(
+        step = (
+            self._step_warm
+            if self._scan_count <= self._warmup_scans
+            else self._step
+        )
+        self.ls, info_vec = step(
             self.ls,
             jnp.asarray(P),
             jnp.asarray(T),
@@ -445,6 +558,27 @@ class LIOPipeline:
         )
         return A, G, Tt, Mk
 
+    def _pack_quant(self, P, T, V, A, G, Tt, Mk, last_end_rel, scan_end_t):
+        """One scan -> (bulk uint16 row, meta f32 row); see
+        QuantWindowInputs for the layout."""
+        sh = self.cfg.shapes
+        n_raw, m_imu = sh.n_raw, sh.n_imu
+        bulk = np.zeros(4 * n_raw, np.uint16)
+        qp = np.clip(np.round(P / POS_SCALE), -32767, 32767).astype(np.int16)
+        bulk[: 3 * n_raw] = qp.reshape(-1).view(np.uint16)
+        dur = max(float(scan_end_t), 1e-9)
+        bulk[3 * n_raw:] = np.clip(
+            np.round(T / dur * 65535.0), 0, 65535
+        ).astype(np.uint16)
+        meta = np.zeros(8 * m_imu + 4, np.float32)
+        im = meta[: 8 * m_imu].reshape(m_imu, 8)
+        im[:, 0:3] = A
+        im[:, 3:6] = G
+        im[:, 6] = np.where(Mk, Tt, 0.0)
+        im[:, 7] = Mk
+        meta[8 * m_imu:] = [float(V.sum()), last_end_rel, scan_end_t, 1.0]
+        return bulk, meta
+
     def _record(self, v: np.ndarray) -> dict:
         out = {
             "pos": v[0:3],
@@ -466,21 +600,33 @@ class LIOPipeline:
             buf.append(tuple(np.zeros_like(a) if isinstance(a, np.ndarray)
                              else 0.0 for a in z))
         cols = list(zip(*buf))
-        win = WindowInputs(
-            pts=jnp.asarray(np.stack(cols[0])),
-            pt_t=jnp.asarray(np.stack(cols[1])),
-            pt_valid=jnp.asarray(np.stack(cols[2])),
-            imu_acc=jnp.asarray(np.stack(cols[3])),
-            imu_gyr=jnp.asarray(np.stack(cols[4])),
-            imu_t=jnp.asarray(np.stack(cols[5])),
-            imu_mask=jnp.asarray(np.stack(cols[6])),
-            last_end_rel=jnp.asarray(np.array(cols[7], self.dtype)),
-            scan_end_t=jnp.asarray(np.array(cols[8], self.dtype)),
-            scan_valid=jnp.asarray(
-                np.arange(W) < n_valid
-            ),
+        if self.quantized:
+            win = QuantWindowInputs(
+                bulk=jnp.asarray(np.stack(cols[0])),
+                meta=jnp.asarray(np.stack(cols[1])),
+            )
+        else:
+            win = WindowInputs(
+                pts=jnp.asarray(np.stack(cols[0])),
+                pt_t=jnp.asarray(np.stack(cols[1])),
+                pt_valid=jnp.asarray(np.stack(cols[2])),
+                imu_acc=jnp.asarray(np.stack(cols[3])),
+                imu_gyr=jnp.asarray(np.stack(cols[4])),
+                imu_t=jnp.asarray(np.stack(cols[5])),
+                imu_mask=jnp.asarray(np.stack(cols[6])),
+                last_end_rel=jnp.asarray(np.array(cols[7], self.dtype)),
+                scan_end_t=jnp.asarray(np.array(cols[8], self.dtype)),
+                scan_valid=jnp.asarray(
+                    np.arange(W) < n_valid
+                ),
+            )
+        # warmup windows (rounded up to whole windows) use the 5-NN step
+        done = getattr(self, "_scans_dispatched", 0)
+        self._scans_dispatched = done + n_valid
+        wstep = (
+            self._wstep_warm if done < self._warmup_scans else self._wstep
         )
-        self.ls, infos = self._wstep(
+        self.ls, infos = wstep(
             self.ls, win, jnp.asarray(self.acc_norm, self.dtype)
         )
         pending = (infos, n_valid)

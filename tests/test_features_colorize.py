@@ -84,3 +84,46 @@ def test_reference_configs_load():
     hap = load_yaml(os.path.join(root, "hap_livox.yaml"))
     assert hap.preprocess.lidar_type == 1
     assert hap.preprocess.time_unit == 1
+
+
+def test_feature_filter_pipeline_integration():
+    """feature_extract_enable reduces the scan to plane features on the
+    host before the filter and the pipeline still tracks (the reference's
+    give_feature surf-cloud path, preprocess.cpp:528)."""
+    import numpy as np
+
+    from better_fastlio2_tpu.io.features import feature_filter
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+    from tests.test_lio_pipeline import small_cfg
+
+    groups = list(make_lio_sequence(
+        duration=1.5, scan_rate=10.0, imu_rate=100.0, n_points=4000, seed=5,
+        noise=0.003, traj=Trajectory(t_still=0.5, speed=1.5)))
+
+    g = groups[3]
+    fp, ft = feature_filter(np.asarray(g["pts"], np.float32),
+                            np.asarray(g["pt_t"]), n_rings=16)
+    assert 200 <= len(fp) < len(g["pts"])  # strictly reduced, not empty
+    assert len(fp) == len(ft)
+
+    cfg = small_cfg()
+    cfg.preprocess.feature_extract_enable = True
+    pipe = LIOPipeline(cfg)
+    origin = np.array([0.0, 0.0, 1.5])
+    last = None
+    for g in groups:
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"])
+        if out is not None:
+            last = (out, g)
+    assert last is not None
+    err = np.linalg.norm(last[0]["pos"] - (last[1]["gt_pos"] - origin))
+    # the simulator samples surfaces randomly (not sweep-ordered), so the
+    # smoothness statistic is noisy and feature selection degrades
+    # tracking vs the full cloud; this test validates the host-side
+    # wiring (reduction + stable pipeline), not feature quality — that is
+    # test_feature_extraction_separates_wall_and_corner on structured
+    # sweeps, and real sweep-ordered data downstream
+    assert np.isfinite(err) and err < 5.0, f"feature path diverged: {err:.3f} m"

@@ -99,3 +99,24 @@ def test_fitness_reflects_misalignment(rng):
     )
     assert float(fit0) < 1e-9  # exact self-match with roomy buckets
     assert float(fit1) > float(fit0)
+
+
+def test_point2plane_aa_recovers_pose(rng):
+    """Anderson-accelerated FRICP-style registration reaches the same
+    optimum, and does it in fewer iterations than plain GN ICP."""
+    from functools import partial
+
+    res, t_err, r_err = _run(
+        partial(icp.icp_point2plane_aa, iters=20), rng, welsch=0.5)
+    assert t_err < 0.02, f"t_err {t_err}"
+    assert r_err < 0.01, f"r_err {r_err}"
+
+    # few-iteration budget: AA should be at least as converged as plain
+    rng2 = np.random.default_rng(7)
+    _, t_aa, r_aa = _run(
+        partial(icp.icp_point2plane_aa, iters=6), rng2, welsch=0.5)
+    rng2 = np.random.default_rng(7)
+    _, t_gn, r_gn = _run(
+        partial(icp.icp_point2plane, iters=6), rng2, welsch=0.5)
+    assert t_aa <= t_gn * 1.5 + 1e-4
+    assert t_aa < 0.05

@@ -96,6 +96,32 @@ def test_windowed_step_matches_per_scan():
 
 
 @pytest.mark.slow
+def test_windowed_quantized_matches_per_scan():
+    """The uint16 wire format (3.7 mm point steps, 1/65535-duration time
+    steps) must track the exact per-scan path to within quantization
+    noise."""
+    groups = make_lio_sequence(
+        duration=1.8, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=9,
+        noise=0.004, traj=Trajectory(t_still=0.5, speed=2.0),
+    )
+    p1 = LIOPipeline(small_cfg())
+    pq = LIOPipeline(small_cfg(), window=3, quantized=True)
+    for g in groups:
+        args = (g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+                g["scan_beg_abs"], g["scan_end_t"])
+        p1.process_scan(*args)
+        pq.process_scan(*args)
+    p1.flush()
+    pq.flush()
+    t1 = np.array(p1.trajectory)
+    tq = np.array(pq.trajectory)
+    assert t1.shape == tq.shape and len(t1) > 5
+    # mm-scale input quantization perturbs borderline voxel assignments,
+    # so trajectories diverge slightly — bound it at sensor-noise scale
+    np.testing.assert_allclose(tq[:, :3], t1[:, :3], rtol=0, atol=0.05)
+
+
+@pytest.mark.slow
 def test_lio_stationary_stays_put():
     groups = make_lio_sequence(
         duration=2.5, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=5,
