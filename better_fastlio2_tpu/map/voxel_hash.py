@@ -259,12 +259,14 @@ def _lookup_slots(
     return slot
 
 
-@partial(jax.jit, static_argnames=("max_probe",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("max_probe", "pre_grouped"),
+         donate_argnums=(0,))
 def insert(
     m: VoxelHashMap,
     pts_world: jax.Array,
     valid: jax.Array,
     max_probe: int = 16,
+    pre_grouped: bool = False,
 ) -> VoxelHashMap:
     """Insert a batch of world-frame points (padded; `valid` masks rows).
 
@@ -277,31 +279,62 @@ def insert(
     map state is bit-identical across replays.  Only the key array is
     mutated inside the loop; chain correctness across rounds needs the
     winners' keys visible to later probes.
+
+    pre_grouped=True asserts every valid row maps to a DISTINCT voxel
+    (true when the batch is the output of voxel_downsample with the same
+    leaf size as the map voxel: each centroid stays inside its own cell)
+    — the group sort and rank scan are skipped.  When the map has a
+    dense index, existing voxels resolve through ONE dense-row gather
+    and the probe/claim loop only runs for the misses.
     """
     C, B = m.capacity, m.bucket
     hmask = C - 1
     n = pts_world.shape[0]
     ijk = _voxel_of(pts_world, m.voxel_size)
     ijk = jnp.where(valid[:, None], ijk, jnp.full_like(ijk, _INT_MAX))
-
-    # ---- group points by voxel (sort by hash, then coords) ---------------
-    h0 = jnp.where(valid, _hash(ijk, hmask), _INT_MAX)
-    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0], h0))
-    ijk_s = ijk[order]
-    pts_s = pts_world[order]
-    valid_s = valid[order]
-
-    first = jnp.concatenate(
-        [jnp.array([True]), jnp.any(ijk_s[1:] != ijk_s[:-1], axis=-1)]
-    )
-    is_head = first & valid_s
     idx = jnp.arange(n, dtype=jnp.int32)
-    group_head = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    rank = idx - group_head
+
+    if pre_grouped:
+        ijk_s, pts_s, valid_s = ijk, pts_world, valid
+        is_head = valid
+        group_head = idx
+        rank = jnp.zeros(n, jnp.int32)
+    else:
+        # ---- group points by voxel (sort by hash, then coords) -----------
+        h0 = jnp.where(valid, _hash(ijk, hmask), _INT_MAX)
+        order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0], h0))
+        ijk_s = ijk[order]
+        pts_s = pts_world[order]
+        valid_s = valid[order]
+
+        first = jnp.concatenate(
+            [jnp.array([True]), jnp.any(ijk_s[1:] != ijk_s[:-1], axis=-1)]
+        )
+        is_head = first & valid_s
+        group_head = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(first, idx, 0)
+        )
+        rank = idx - group_head
 
     # ---- resolve a slot for every group head -----------------------------
     h_s = _hash(ijk_s, hmask)
     key_target = _pack(ijk_s)
+
+    # fast find: one dense-row gather resolves every voxel whose index row
+    # is current (the vast majority at steady state); stale/absent rows
+    # fall through to the probe/claim loop.  The slot's LIVE key must be
+    # re-verified: a row can point at a slot tombstoned by a later crop
+    # (crop does not touch the dense index — see crop_outside_box), and
+    # appending into a tombstone would lose the points forever.
+    if m.dense is not None:
+        dslot = _dense_lookup(m.dense, ijk_s)
+        live_ok = m.key[jnp.maximum(dslot, 0)] == key_target
+        dslot = jnp.where(live_ok, dslot, -1)
+        slot0 = jnp.where(is_head, dslot, -1)
+        unresolved0 = is_head & (dslot < 0)
+    else:
+        slot0 = jnp.full(n, -1, jnp.int32)
+        unresolved0 = is_head
 
     def claim_round(st):
         slot, probe, key_arr, unresolved = st[:4]
@@ -328,11 +361,11 @@ def insert(
         return (slot, probe, key_arr, unresolved, jnp.any(unresolved))
 
     st = (
-        jnp.full(n, -1, jnp.int32),
+        slot0,
         jnp.zeros(n, jnp.int32),
         m.key,
-        is_head,
-        jnp.any(is_head),
+        unresolved0,
+        jnp.any(unresolved0),
     )
     st = jax.lax.while_loop(lambda s: s[-1], claim_round, st)
     head_slot, _, key_arr, _, _ = st
@@ -613,24 +646,21 @@ def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHash
     outside = jnp.any((centers < lo) | (centers >= hi), axis=-1)
     kill = live & outside
 
-    # invalidate dense rows of killed voxels — only where the row still
-    # points at the killed slot (never clobber a torus-alias's entry)
-    dense = m.dense
-    if dense is not None:
-        Gx, Gy, Gz, _ = dense.shape
-        ix, iy, iz = ijk[:, 0] & (Gx - 1), ijk[:, 1] & (Gy - 1), ijk[:, 2] & (Gz - 1)
-        mine = dense[ix, iy, iz, 1] == jnp.arange(m.capacity, dtype=jnp.int32)
-        clear = kill & mine
-        dense = dense.at[jnp.where(clear, ix, Gx), iy, iz].set(
-            jnp.zeros(2, jnp.int32), mode="drop"
-        )
-
+    # The dense index is deliberately NOT touched: clearing killed rows
+    # needs a capacity-wide scatter (~100 ms at 2^20 slots — scatter cost
+    # is lane-count-bound on TPU).  Stale rows are made harmless instead:
+    # the killed slots' points are sentinel-filled here (one elementwise
+    # pass over the points array, ~1 ms), so a stale row that key-matches
+    # a re-entering voxel resolves to a slot with no usable points and no
+    # moments; insert re-verifies slot liveness before appending (see
+    # insert) and refreshes the row when the voxel is re-claimed.
     return m._replace(
         key=jnp.where(kill, _KEY_TOMB, m.key),
         count=jnp.where(kill, 0, m.count),
+        points=jnp.where(kill[:, None, None],
+                         jnp.asarray(_SENTINEL, m.points.dtype), m.points),
         mom=(jnp.where(kill[:, None], 0.0, m.mom)
              if m.mom is not None else None),
-        dense=dense,
     )
 
 

@@ -164,9 +164,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                                       operand=None)
 
         # ---- map incremental insert --------------------------------------
+        # when the scan leaf equals the map voxel, voxel_downsample's
+        # centroids are one-per-map-voxel (each centroid stays inside its
+        # own cell) — the insert can skip its group sort entirely
         pts_world = measurement.transform_to_world(x_post, pts_ds)
         m = voxel_hash.insert(
-            ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe
+            ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe,
+            pre_grouped=(mp.surf_leaf_size == cfg.ikdtree.filter_size_map_min),
         )
 
         ls = LIOState(

@@ -198,3 +198,42 @@ def test_knn_max_live_prunes_exactly_when_few_live(rng):
     np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
     np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
                                np.sort(np.asarray(d2), 1), atol=1e-12)
+
+
+def test_insert_pre_grouped_matches_sorted(rng):
+    """pre_grouped=True (distinct-voxel batches, e.g. downsampler output
+    with leaf == map voxel) must produce the same map as the sorting
+    path, including with a dense index present."""
+    import numpy as np
+
+    from better_fastlio2_tpu.ops.downsample import voxel_downsample
+
+    pts = rng.uniform(-10, 10, size=(4000, 3)).astype(np.float32)
+    ds, dv = voxel_downsample(jnp.asarray(pts), jnp.ones(4000, bool), 0.5,
+                              out_size=4096)
+
+    for dense in (None, (6, 6, 5)):
+        m_a = vh.make_map(capacity_log2=13, bucket=4, voxel_size=0.5,
+                          dtype=jnp.float32, dense_log2=dense, moments=True)
+        m_b = vh.make_map(capacity_log2=13, bucket=4, voxel_size=0.5,
+                          dtype=jnp.float32, dense_log2=dense, moments=True)
+        # two rounds: the second exercises the dense-index fast find
+        for _ in range(2):
+            m_a = vh.insert(m_a, ds, dv)
+            m_b = vh.insert(m_b, ds, dv, pre_grouped=True)
+        assert int(vh.num_voxels(m_a)) == int(vh.num_voxels(m_b))
+        # same stored point SETS per voxel
+        def content(m):
+            live = (np.asarray(m.key) & (1 << 30)) != 0
+            out = {}
+            cnt = np.asarray(m.count)
+            P = np.asarray(m.points)
+            co = np.asarray(m.coords)
+            for s in np.where(live)[0]:
+                out[tuple(co[s])] = (cnt[s],
+                                     tuple(sorted(map(tuple, np.round(P[s, :cnt[s]], 4)))))
+            return out
+        assert content(m_a) == content(m_b)
+        np.testing.assert_allclose(
+            np.asarray(m_a.mom).sum(0), np.asarray(m_b.mom).sum(0),
+            rtol=1e-5, atol=1e-4)
