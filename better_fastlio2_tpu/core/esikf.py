@@ -205,6 +205,7 @@ def update_iterated(
     max_iter: int = 4,
     R: float = 0.001,
     limit: float = 0.001,
+    psum_axis: str | None = None,
 ):
     """Iterated dyn-share measurement update (esekfom.hpp:1620-1938).
 
@@ -218,6 +219,12 @@ def update_iterated(
     loop exits when t > 1 or the pass budget is exhausted, and the
     converge flag is forced true on the penultimate pass so the model
     re-associates once more (esekfom.hpp:1825-1851).
+
+    psum_axis: inside shard_map with measurement rows sharded over that
+    mesh axis, the 12x12/12 normal equations and the valid-row count are
+    psum'd across devices before the (replicated) tiny solve — the
+    multi-chip data parallelism of SURVEY P1 (156 floats of ICI traffic
+    per iteration).
 
     Returns (x_post, P_post, aux, info-dict).
     """
@@ -233,7 +240,7 @@ def update_iterated(
         w = m.mask.astype(dtype)
         h_x = m.h_x * w[:, None]
         h = m.h * w
-        valid = jnp.sum(w) >= 1.0  # laserMapping.cpp:1956-1961 guard
+        n_valid = jnp.sum(w)
 
         dx = boxminus(x, x_prop)
         T, dx_new = _dx_transport(dx, x, x_prop)
@@ -241,6 +248,11 @@ def update_iterated(
 
         HTH = h_x.T @ h_x  # (12, 12)
         HTh = h_x.T @ h  # (12,)
+        if psum_axis is not None:
+            HTH = jax.lax.psum(HTH, psum_axis)
+            HTh = jax.lax.psum(HTh, psum_axis)
+            n_valid = jax.lax.psum(n_valid, psum_axis)
+        valid = n_valid >= 1.0  # laserMapping.cpp:1956-1961 guard
         # (H^T H + (P/R)^-1)^-1 via two SPD solves: LU-based jnp.linalg.inv
         # is ~200x slower than cholesky+solve on TPU for these tiny sizes.
         # Symmetrise P first — f32 transport products drift asymmetric.

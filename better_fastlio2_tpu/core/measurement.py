@@ -120,6 +120,95 @@ def plane_fit(
     return n, d, plane_ok
 
 
+def neighborhood_moment_sums(
+    m: voxel_hash.VoxelHashMap,
+    p_world: jax.Array,
+    max_probe: int = 16,
+    cell_mask_fn=None,
+) -> tuple[jax.Array, jax.Array]:
+    """(sums (N, 10), ijk (N, 3)): per-query moments of the 7-cell
+    neighborhood (own + face neighbors), rebased to the query's own-cell
+    corner and summed.  `cell_mask_fn(nb_coords) -> bool` restricts which
+    cells contribute (the device-sharded map sums only OWNED cells and
+    psums the partials — sums are associative across shards)."""
+    assert m.mom is not None, "map must be allocated with moments=True"
+    dtype = m.points.dtype
+    vs = m.voxel_size
+    N = p_world.shape[0]
+
+    offs = voxel_hash._neighbor_offsets(7)  # own + 6 face neighbors
+    NB = offs.shape[0]
+    ijk = voxel_hash._voxel_of(p_world, vs)
+    nb = ijk[:, None, :] + offs[None, :, :]
+    if m.dense is not None:
+        slots = voxel_hash._dense_lookup(m.dense, nb)
+    else:
+        slots = voxel_hash._lookup_slots(
+            m.key, nb.reshape(-1, 3), max_probe
+        ).reshape(N, NB)
+    if cell_mask_fn is not None:
+        slots = jnp.where(cell_mask_fn(nb), slots, -1)
+
+    safe = jnp.maximum(slots, 0)
+    mom = m.mom[safe]  # (N, NB, 10)
+    mom = jnp.where(slots[..., None] >= 0, mom, 0.0)
+
+    # rebase each neighbor's corner-relative moments to the OWN cell's
+    # corner: delta = offs * vs (exact small constants), then
+    #   S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b
+    delta = offs.astype(dtype) * vs  # (NB, 3)
+    n_c = mom[..., 0]  # (N, NB)
+    S1 = mom[..., 1:4]  # (N, NB, 3)
+    d_ = delta[None]  # (1, NB, 3)
+    S1r = S1 + n_c[..., None] * d_
+    S2u = mom[..., 4:10]  # upper-tri (xx, xy, xz, yy, yz, zz)
+    dS = d_[..., :, None] * S1[..., None, :] + d_[..., None, :] * S1[..., :, None]
+    dd = d_[..., :, None] * d_[..., None, :]
+    iu_r = jnp.array([0, 0, 0, 1, 1, 2])
+    iu_c = jnp.array([0, 1, 2, 1, 2, 2])
+    S2r = (
+        S2u
+        + dS[..., iu_r, iu_c]
+        + n_c[..., None] * dd[..., iu_r, iu_c]
+    )
+    sums = jnp.concatenate(
+        [jnp.sum(n_c, axis=1, keepdims=True),
+         jnp.sum(S1r, axis=1),
+         jnp.sum(S2r, axis=1)], axis=-1,
+    )  # (N, 10)
+    return sums, ijk
+
+
+def finalize_plane_from_sums(
+    sums: jax.Array,
+    ijk: jax.Array,
+    voxel_size,
+    valid: jax.Array,
+    thresh: float = PLANE_INLIER_THRESH,
+    min_points: int = NUM_MATCH_POINTS,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Closed-form LSQ plane per query from blended moment sums."""
+    dtype = sums.dtype
+    n_tot = sums[:, 0]
+    S1t = sums[:, 1:4]
+    iu = jnp.array([[0, 1, 2], [1, 3, 4], [2, 4, 5]])
+    S2t = sums[:, 4:10][:, iu]  # (N, 3, 3)
+
+    nn = jnp.maximum(n_tot, 1.0)
+    c = S1t / nn[:, None]  # centroid, own-corner frame
+    Cov = S2t - S1t[:, :, None] * c[:, None, :]  # scatter matrix
+    nvec, lam_min = _sym3_smallest_eig(Cov)
+    rms = jnp.sqrt(jnp.maximum(lam_min, 0.0) / nn)
+
+    centroid_w = c + ijk.astype(dtype) * voxel_size
+    d = -jnp.einsum("ni,ni->n", nvec, centroid_w)
+    sgn = jnp.where(d < 0, -1.0, 1.0)
+    nvec = nvec * sgn[:, None]
+    d = d * sgn
+    plane_ok = valid & (n_tot >= min_points) & (rms <= thresh)
+    return nvec, d, plane_ok
+
+
 def plane_from_moments(
     m: voxel_hash.VoxelHashMap,
     p_world: jax.Array,
@@ -142,60 +231,10 @@ def plane_from_moments(
     Returns (normal (N,3), d (N,), plane_ok (N,)) with n·p + d = 0,
     d >= 0 sign convention matching plane_fit.
     """
-    assert m.mom is not None, "map must be allocated with moments=True"
-    dtype = m.points.dtype
-    vs = m.voxel_size
-    N = p_world.shape[0]
-
-    offs = voxel_hash._neighbor_offsets(7)  # own + 6 face neighbors
-    NB = offs.shape[0]
-    ijk = voxel_hash._voxel_of(p_world, vs)
-    nb = ijk[:, None, :] + offs[None, :, :]
-    if m.dense is not None:
-        slots = voxel_hash._dense_lookup(m.dense, nb)
-    else:
-        slots = voxel_hash._lookup_slots(
-            m.key, nb.reshape(-1, 3), max_probe
-        ).reshape(N, NB)
-
-    safe = jnp.maximum(slots, 0)
-    mom = m.mom[safe]  # (N, NB, 10)
-    mom = jnp.where(slots[..., None] >= 0, mom, 0.0)
-
-    # rebase each neighbor's corner-relative moments to the OWN cell's
-    # corner: delta = offs * vs (exact small constants), then
-    #   S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b
-    delta = offs.astype(dtype) * vs  # (NB, 3)
-    n_c = mom[..., 0]  # (N, NB)
-    S1 = mom[..., 1:4]  # (N, NB, 3)
-    iu = jnp.array([[0, 1, 2], [1, 3, 4], [2, 4, 5]])
-    S2 = mom[..., 4:10][..., iu]  # (N, NB, 3, 3)
-    d_ = delta[None]  # (1, NB, 3)
-    S1r = S1 + n_c[..., None] * d_
-    S2r = (
-        S2
-        + d_[..., :, None] * S1[..., None, :]
-        + d_[..., None, :] * S1[..., :, None]
-        + n_c[..., None, None] * d_[..., :, None] * d_[..., None, :]
+    sums, ijk = neighborhood_moment_sums(m, p_world, max_probe=max_probe)
+    return finalize_plane_from_sums(
+        sums, ijk, m.voxel_size, valid, thresh=thresh, min_points=min_points
     )
-
-    n_tot = jnp.sum(n_c, axis=1)  # (N,)
-    S1t = jnp.sum(S1r, axis=1)  # (N, 3)
-    S2t = jnp.sum(S2r, axis=1)  # (N, 3, 3)
-
-    nn = jnp.maximum(n_tot, 1.0)
-    c = S1t / nn[:, None]  # centroid, own-corner frame
-    Cov = S2t - S1t[:, :, None] * c[:, None, :]  # scatter matrix
-    nvec, lam_min = _sym3_smallest_eig(Cov)
-    rms = jnp.sqrt(jnp.maximum(lam_min, 0.0) / nn)
-
-    centroid_w = c + ijk.astype(dtype) * vs
-    d = -jnp.einsum("ni,ni->n", nvec, centroid_w)
-    sgn = jnp.where(d < 0, -1.0, 1.0)
-    nvec = nvec * sgn[:, None]
-    d = d * sgn
-    plane_ok = valid & (n_tot >= min_points) & (rms <= thresh)
-    return nvec, d, plane_ok
 
 
 class MeasureAux(NamedTuple):

@@ -43,6 +43,7 @@ __all__ = [
     "make_sharded_map",
     "sharded_map_insert",
     "sharded_map_knn",
+    "make_sharded_step_fn",
 ]
 
 
@@ -175,15 +176,18 @@ def make_sharded_map(
     voxel_size: float = 0.5,
     dtype=jnp.float32,
     axis: str = "dp",
+    moments: bool = False,
 ) -> voxel_hash.VoxelHashMap:
     """Allocate an empty device-sharded map: a VoxelHashMap whose arrays
     have a leading axis of D local tables, sharded one-per-device.
     (No dense torus index in sharded mode: the probe path covers lookup
-    and keeps per-chip HBM flat.)"""
+    and keeps per-chip HBM flat.)  moments=True is required for the
+    sharded scan tick (make_sharded_step_fn)."""
     n_dev = mesh.devices.size
     local = voxel_hash.make_map(
         capacity_log2=capacity_log2_per_dev, bucket=bucket,
         voxel_size=voxel_size, dtype=dtype, dense_log2=None,
+        moments=moments,
     )
     stacked = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), local
@@ -216,6 +220,46 @@ def sharded_map_insert(mesh: Mesh, axis: str = "dp", max_probe: int = 16):
     )
 
 
+def _local_knn_merge(m_loc, q, me, n_dev, axis, k=5, max_probe=16,
+                     n_neighbors=27):
+    """Inside shard_map: k-NN of replicated queries against the
+    ownership-sharded map — local top-k over owned cells, then an
+    all_gather + re-top-k merge.  Exact vs the single-chip search."""
+    offs = voxel_hash._neighbor_offsets(n_neighbors)
+    N = q.shape[0]
+    B = m_loc.bucket
+    dtype = m_loc.points.dtype
+    BIG = jnp.asarray(1e17, dtype)
+
+    ijk = voxel_hash._voxel_of(q, m_loc.voxel_size)
+    nb = ijk[:, None, :] + offs[None, :, :]  # (N, NB, 3)
+    mine = _owner_of(nb, n_dev) == me
+    slots = voxel_hash._lookup_slots(
+        m_loc.key, nb.reshape(-1, 3), max_probe
+    ).reshape(N, -1)
+    slots = jnp.where(mine, slots, -1)
+
+    safe = jnp.maximum(slots, 0)
+    cand = m_loc.points[safe]  # (N, NB, B, 3)
+    d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(slots[..., None] >= 0, d2, BIG)
+    NB = offs.shape[0]
+    neg, top_i = jax.lax.top_k(-d2.reshape(N, NB * B), k)
+    pts_k = jnp.take_along_axis(
+        cand.reshape(N, NB * B, 3), top_i[..., None], axis=1
+    )  # (N, k, 3)
+
+    # merge partials: (D, N, k) -> per-query top-k of D*k
+    all_d2 = jax.lax.all_gather(-neg, axis)  # (D, N, k)
+    all_pts = jax.lax.all_gather(pts_k, axis)  # (D, N, k, 3)
+    all_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(N, n_dev * k)
+    all_pts = jnp.moveaxis(all_pts, 0, 1).reshape(N, n_dev * k, 3)
+    negm, mi = jax.lax.top_k(-all_d2, k)
+    d2m = -negm
+    ptsm = jnp.take_along_axis(all_pts, mi[..., None], axis=1)
+    return ptsm, d2m, d2m < BIG
+
+
 def sharded_map_knn(
     mesh: Mesh,
     axis: str = "dp",
@@ -229,43 +273,13 @@ def sharded_map_knn(
     Per-device local search over owned cells, then an all_gather +
     re-top-k merge — the multi-chip Nearest_Search replacement."""
     n_dev = mesh.devices.size
-    offs = voxel_hash._neighbor_offsets(n_neighbors)
 
     def local(m, q):
-        m = jax.tree_util.tree_map(lambda a: a[0], m)
+        m_loc = jax.tree_util.tree_map(lambda a: a[0], m)
         me = jax.lax.axis_index(axis)
-        N = q.shape[0]
-        B = m.bucket
-        dtype = m.points.dtype
-        BIG = jnp.asarray(1e17, dtype)
-
-        ijk = voxel_hash._voxel_of(q, m.voxel_size)
-        nb = ijk[:, None, :] + offs[None, :, :]  # (N, NB, 3)
-        mine = _owner_of(nb, n_dev) == me
-        slots = voxel_hash._lookup_slots(
-            m.key, nb.reshape(-1, 3), max_probe
-        ).reshape(N, -1)
-        slots = jnp.where(mine, slots, -1)
-
-        safe = jnp.maximum(slots, 0)
-        cand = m.points[safe]  # (N, NB, B, 3)
-        d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(slots[..., None] >= 0, d2, BIG)
-        NB = offs.shape[0]
-        neg, top_i = jax.lax.top_k(-d2.reshape(N, NB * B), k)
-        pts_k = jnp.take_along_axis(
-            cand.reshape(N, NB * B, 3), top_i[..., None], axis=1
-        )  # (N, k, 3)
-
-        # merge partials: (D, N, k) -> per-query top-k of D*k
-        all_d2 = jax.lax.all_gather(-neg, axis)  # (D, N, k)
-        all_pts = jax.lax.all_gather(pts_k, axis)  # (D, N, k, 3)
-        all_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(N, n_dev * k)
-        all_pts = jnp.moveaxis(all_pts, 0, 1).reshape(N, n_dev * k, 3)
-        negm, mi = jax.lax.top_k(-all_d2, k)
-        d2m = -negm
-        ptsm = jnp.take_along_axis(all_pts, mi[..., None], axis=1)
-        return ptsm, d2m, d2m < BIG
+        return _local_knn_merge(m_loc, q, me, n_dev, axis, k=k,
+                                max_probe=max_probe,
+                                n_neighbors=n_neighbors)
 
     return jax.shard_map(
         local,
@@ -274,6 +288,157 @@ def sharded_map_knn(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
+
+
+def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
+    """Full multi-chip scan tick: points data-parallel AND the map
+    ownership-sharded, in one shard_map program.
+
+    Layout per device d of D:
+      - raw scan points: shard d holds N/D rows (undistortion,
+        downsample, and measurement rows are local);
+      - the voxel map: a full-size local table holding only the voxels
+        d OWNS (make_sharded_map);
+      - filter state x, P, IMU batch, cube: replicated.
+
+    Communication per scan (all ICI collectives):
+      - all_gather of the downsampled shards (~n_ds*3 floats) so every
+        owner sees the full batch for insert and association;
+      - psum of the (n_ds, 10) per-query moment partial sums (each
+        device blends only its OWNED neighborhood cells — moment sums
+        are associative across shards, so the psum equals the
+        single-chip 7-cell blend exactly);
+      - psum of the 12x12/12 normal equations + valid count per ESIKF
+        iteration (esikf.update_iterated psum_axis) — 156 floats.
+
+    Association: the 5-NN merge path (use_knn=True — the warmup while
+    the moment cache densifies, all_gather top-k merge) or the
+    plane-cache path (use_knn=False, psum'd moment partials); both live
+    in one program behind lax.cond, the host flips the flag after the
+    first ~dozen scans exactly like LIOPipeline's warmup switch.
+
+    Returns step(x, P, m_sharded, pts_sh, pt_t_sh, pt_valid_sh, imu_b,
+    last_end_rel, scan_end_t, acc_norm, cube_lo, cube_hi, last_acc_w,
+    last_gyr_b, use_knn) -> (x', P', m_sharded', tail (2,3): the scan's
+    terminal world acceleration / bias-corrected gyro to feed back).
+    """
+    from ..core import esikf as esikf_mod
+    from ..core import imu as imu_mod
+    from ..core import measurement as meas
+    from ..core.esikf import MeasurementOut
+    from ..ops.downsample import voxel_downsample
+
+    n_dev = mesh.devices.size
+    sh = cfg.shapes
+    mp = cfg.mapping
+    dtype = jnp.dtype(cfg.dtype)
+
+    def local(x, P_, m, pts, pt_t, pt_valid, imu_b, last_end_rel,
+              scan_end_t, acc_norm, cube_lo, cube_hi, last_acc_w,
+              last_gyr_b, use_knn):
+        me = jax.lax.axis_index(axis)
+        m_loc = jax.tree_util.tree_map(lambda a: a[0], m)
+
+        Q_ = imu_mod.build_Q(mp.gyr_cov, mp.acc_cov, mp.b_gyr_cov,
+                             mp.b_acc_cov, dtype)
+        # replicated propagation; local undistortion of the point shard
+        x_prop, P_prop, poses = imu_mod.propagate(
+            x, P_, imu_b, Q_, acc_norm, last_end_rel, scan_end_t,
+            last_acc_w, last_gyr_b,
+        )
+        pts_body = imu_mod.undistort(x_prop, poses, pts, pt_t)
+
+        # local downsample of the shard, then all_gather the batch
+        n_ds_loc = sh.n_ds // n_dev
+        ds_loc, dv_loc = voxel_downsample(
+            pts_body, pt_valid, mp.surf_leaf_size, out_size=n_ds_loc
+        )
+        ds_all = jax.lax.all_gather(ds_loc, axis).reshape(-1, 3)
+        dv_all = jax.lax.all_gather(dv_loc, axis).reshape(-1)
+
+        # ---- association: 5-NN merge (warmup) or psum'd moment blend --
+        def measure(s, converged, aux):
+            p_world = meas.transform_to_world(s, ds_all)
+
+            def search_moments(_):
+                sums, ijk = meas.neighborhood_moment_sums(
+                    m_loc, p_world, max_probe=sh.map_max_probe,
+                    cell_mask_fn=lambda nb: _owner_of(nb, n_dev) == me,
+                )
+                sums = jax.lax.psum(sums, axis)
+                n, d, ok = meas.finalize_plane_from_sums(
+                    sums, ijk, m_loc.voxel_size, dv_all
+                )
+                return meas.MeasureAux(n, d, ok, jnp.array(True))
+
+            def search_knn(_):
+                nbp, d2, okk = _local_knn_merge(
+                    m_loc, p_world, me, n_dev, axis, k=5,
+                    max_probe=sh.map_max_probe)
+                nn_ok = (jnp.all(okk, -1)
+                         & (d2[:, 4] <= meas.MAX_NN_DIST2) & dv_all)
+                n, d, ok = meas.plane_fit(nbp, nn_ok)
+                return meas.MeasureAux(n, d, ok, jnp.array(True))
+
+            def do_search(_):
+                return jax.lax.cond(use_knn, search_knn, search_moments,
+                                    None)
+
+            aux = jax.lax.cond(jnp.logical_not(aux.searched), do_search,
+                               lambda a: a, aux)
+            n, d, plane_ok = aux.normal, aux.d, aux.fit_ok
+
+            # each device builds rows for ITS slice of the batch; the
+            # normal equations psum inside update_iterated
+            start = me * n_ds_loc
+            dsl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_ds_loc)
+            pw_s = dsl(p_world)
+            n_s, d_s, ok_s = dsl(n), dsl(d), dsl(plane_ok)
+            pts_b_s = dsl(ds_all)
+            pd2 = jnp.einsum("ni,ni->n", n_s, pw_s) + d_s
+            body_norm = jnp.linalg.norm(pts_b_s, axis=-1)
+            srob = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(
+                jnp.maximum(body_norm, 1e-8))
+            sel = ok_s & (srob > meas.ROBUST_S_GATE)
+            p_imu = so3.quat_rotate(s.off_r, pts_b_s) + s.off_t
+            Crow = so3.quat_inv_rotate(s.rot, n_s)
+            h_x = jnp.concatenate(
+                [n_s, jnp.cross(p_imu, Crow),
+                 jnp.zeros_like(n_s), jnp.zeros_like(n_s)], axis=-1)
+            return MeasurementOut(h_x=h_x, h=-pd2, mask=sel, aux=aux)
+
+        aux0 = meas.MeasureAux(
+            normal=jnp.zeros((ds_all.shape[0], 3), dtype),
+            d=jnp.zeros(ds_all.shape[0], dtype),
+            fit_ok=jnp.zeros(ds_all.shape[0], bool),
+            searched=jnp.array(False),
+        )
+        x_post, P_post, _, _ = esikf_mod.update_iterated(
+            x_prop, P_prop, measure, aux0,
+            max_iter=cfg.ikdtree.max_iteration, psum_axis=axis,
+        )
+
+        # ---- owner-masked insert + local FoV crop --------------------
+        pts_world = meas.transform_to_world(x_post, ds_all)
+        ijk_all = voxel_hash._voxel_of(pts_world, m_loc.voxel_size)
+        mine = dv_all & (_owner_of(ijk_all, n_dev) == me)
+        m_new = voxel_hash.insert(m_loc, pts_world, mine,
+                                  max_probe=sh.map_max_probe)
+        m_new = voxel_hash.crop_outside_box(m_new, cube_lo, cube_hi)
+
+        tail = jnp.stack([poses.acc_w[-1], poses.gyr_b[-1]])
+        m_out = jax.tree_util.tree_map(lambda a: a[None], m_new)
+        return x_post, P_post, m_out, tail
+
+    xspec = State(*([P()] * 8))
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(xspec, P(), P(axis), P(axis), P(axis), P(axis), P(),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(xspec, P(), P(axis), P()),
+        check_vma=False,
+    ), donate_argnums=(2,))
 
 
 def sharded_posegraph_hvp(mesh: Mesh, axis: str = "dp"):
