@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "decode_xyzi", "decode_livox", "decode_nclt",
-           "write_pcd_xyzi", "voxel_downsample_host"]
+           "write_pcd_xyzi", "voxel_downsample_host", "pack_quant_bulk"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "src", "preprocess.cc")
@@ -72,6 +72,14 @@ def _load():
             c_f32p, c_i64, ctypes.c_double,
             np.ctypeslib.ndpointer(np.int64), c_f64p, c_i64, c_f32p,
         ]
+        try:
+            lib.pack_quant.restype = None
+            lib.pack_quant.argtypes = [
+                c_f32p, c_f32p, c_i64, ctypes.c_double, ctypes.c_double,
+                np.ctypeslib.ndpointer(np.uint16),
+            ]
+        except AttributeError:  # stale pre-built .so without the symbol
+            pass
         _lib = lib
     return _lib
 
@@ -187,3 +195,20 @@ def voxel_downsample_host(pts: np.ndarray, voxel: float) -> np.ndarray:
     out = np.empty((cap, 3), np.float32)
     m = lib.voxel_downsample(pts, len(pts), voxel, tk, ta, cap, out)
     return out[:m]
+
+
+def pack_quant_bulk(pts: np.ndarray, t: np.ndarray, pos_scale: float,
+                    dur: float) -> np.ndarray | None:
+    """Native bulk-row packer for the quantized wire format
+    (pipeline/lio.QuantWindowInputs); None if the library lacks it
+    (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_quant") or \
+            lib.pack_quant.argtypes is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    t = np.ascontiguousarray(t, np.float32)
+    n_raw = len(t)
+    bulk = np.empty(4 * n_raw, np.uint16)
+    lib.pack_quant(pts, t, n_raw, float(pos_scale), float(dur), bulk)
+    return bulk

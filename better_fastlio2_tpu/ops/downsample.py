@@ -19,12 +19,13 @@ import jax.numpy as jnp
 __all__ = ["voxel_downsample"]
 
 
-@partial(jax.jit, static_argnames=("out_size",))
+@partial(jax.jit, static_argnames=("out_size", "packed_key"))
 def voxel_downsample(
     pts: jax.Array,
     valid: jax.Array,
     voxel_size,
     out_size: int | None = None,
+    packed_key: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Centroid-per-voxel downsample.
 
@@ -33,6 +34,11 @@ def voxel_downsample(
       valid: (N,) row mask.
       voxel_size: scalar voxel edge length.
       out_size: output padding (defaults to N).
+      packed_key: sort ONE int32 key of 10-bit-wrapped voxel coords
+        instead of a 3-key lexsort (~2x cheaper sort).  Correct ONLY
+        when the batch's per-axis voxel extent is under the 1024-cell
+        wrap period — true for sensor-frame scans (extent <= 2x
+        det_range / voxel), NOT for world-frame aggregate clouds.
 
     Returns (out_pts (M,3), out_valid (M,)).
     """
@@ -42,7 +48,17 @@ def voxel_downsample(
 
     ijk = jnp.floor(pts / voxel_size).astype(jnp.int32)
     ijk = jnp.where(valid[:, None], ijk, INT_MAX)
-    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    if packed_key:
+        key = jnp.where(
+            valid,
+            (ijk[:, 0] & 1023)
+            | ((ijk[:, 1] & 1023) << 10)
+            | ((ijk[:, 2] & 1023) << 20),
+            INT_MAX,
+        )
+        order = jnp.argsort(key)
+    else:
+        order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
     ijk_s = ijk[order]
     pts_s = jnp.where(valid[order][:, None], pts[order], 0.0)
     valid_s = valid[order]

@@ -127,8 +127,11 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range)
 
         # ---- scan downsample ---------------------------------------------
+        # packed-key sort is valid when the sensor-frame extent fits the
+        # 1024-cell wrap period (always at lidar ranges / usual leaves)
         pts_ds, ds_valid = voxel_downsample(
-            pts_body, pt_valid, mp.surf_leaf_size, out_size=sh.n_ds
+            pts_body, pt_valid, mp.surf_leaf_size, out_size=sh.n_ds,
+            packed_key=(2.2 * mp.det_range / mp.surf_leaf_size) < 1000.0,
         )
 
         # ---- iterated ESIKF update ---------------------------------------
@@ -567,13 +570,18 @@ class LIOPipeline:
         QuantWindowInputs for the layout."""
         sh = self.cfg.shapes
         n_raw, m_imu = sh.n_raw, sh.n_imu
-        bulk = np.zeros(4 * n_raw, np.uint16)
-        qp = np.clip(np.round(P / POS_SCALE), -32767, 32767).astype(np.int16)
-        bulk[: 3 * n_raw] = qp.reshape(-1).view(np.uint16)
         dur = max(float(scan_end_t), 1e-9)
-        bulk[3 * n_raw:] = np.clip(
-            np.round(T / dur * 65535.0), 0, 65535
-        ).astype(np.uint16)
+        from ..io.native import pack_quant_bulk
+
+        bulk = pack_quant_bulk(P, T, POS_SCALE, dur)  # C++ fast path
+        if bulk is None:
+            bulk = np.zeros(4 * n_raw, np.uint16)
+            qp = np.clip(np.round(P / POS_SCALE), -32767,
+                         32767).astype(np.int16)
+            bulk[: 3 * n_raw] = qp.reshape(-1).view(np.uint16)
+            bulk[3 * n_raw:] = np.clip(
+                np.round(T / dur * 65535.0), 0, 65535
+            ).astype(np.uint16)
         meta = np.zeros(8 * m_imu + 4, np.float32)
         im = meta[: 8 * m_imu].reshape(m_imu, 8)
         im[:, 0:3] = A

@@ -209,4 +209,31 @@ int64_t voxel_downsample(const float* pts, int64_t n, double voxel,
   return m;
 }
 
+// ---------------------------------------------------------------------------
+// Quantized wire-format packer (QuantWindowInputs bulk row): points as
+// int16 steps of pos_scale, per-point times as uint16 fractions of the
+// scan duration.  The per-scan host hot path of the windowed pipeline.
+//   pts: (n_raw, 3) f32 (zero-padded), t: (n_raw) f32
+//   bulk: (4 * n_raw) uint16 out — [0, 3n): point bits, [3n, 4n): time
+// ---------------------------------------------------------------------------
+void pack_quant(const float* pts, const float* t, int64_t n_raw,
+                double pos_scale, double dur, uint16_t* bulk) {
+  const double inv_ps = 1.0 / pos_scale;
+  const double inv_dur = 65535.0 / (dur > 1e-9 ? dur : 1e-9);
+  int16_t* pb = reinterpret_cast<int16_t*>(bulk);
+  for (int64_t i = 0; i < n_raw * 3; ++i) {
+    double q = std::nearbyint((double)pts[i] * inv_ps);
+    if (q > 32767.0) q = 32767.0;
+    if (q < -32767.0) q = -32767.0;
+    pb[i] = (int16_t)q;
+  }
+  uint16_t* tb = bulk + 3 * n_raw;
+  for (int64_t i = 0; i < n_raw; ++i) {
+    double q = std::nearbyint((double)t[i] * inv_dur);
+    if (q > 65535.0) q = 65535.0;
+    if (q < 0.0) q = 0.0;
+    tb[i] = (uint16_t)q;
+  }
+}
+
 }  // extern "C"

@@ -140,3 +140,25 @@ def test_lio_stationary_stays_put():
     origin = np.array([0.0, 0.0, 1.5])
     drift = np.linalg.norm(last["pos"] - (groups[-1]["gt_pos"] - origin))
     assert drift < 0.05, f"stationary drift {drift:.3f} m"
+
+
+def test_native_pack_quant_matches_numpy():
+    """The C++ wire-format packer must agree with the numpy fallback to
+    within one quantization step (round-half tie-breaking differs)."""
+    from better_fastlio2_tpu.io import native
+    from better_fastlio2_tpu.pipeline.lio import POS_SCALE
+
+    rng = np.random.default_rng(1)
+    P = rng.uniform(-100, 100, (2048, 3)).astype(np.float32)
+    T = rng.uniform(0, 0.1, 2048).astype(np.float32)
+    b = native.pack_quant_bulk(P, T, POS_SCALE, 0.1)
+    if b is None:
+        pytest.skip("native library unavailable")
+    ref = np.zeros(4 * 2048, np.uint16)
+    qp = np.clip(np.round(P / POS_SCALE), -32767, 32767).astype(np.int16)
+    ref[: 3 * 2048] = qp.reshape(-1).view(np.uint16)
+    ref[3 * 2048:] = np.clip(np.round(T / 0.1 * 65535.0), 0,
+                             65535).astype(np.uint16)
+    diff = np.abs(b.astype(np.int64) - ref.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01

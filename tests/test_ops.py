@@ -63,3 +63,21 @@ def test_plane_fit_rejects_nonplanar(rng):
     _, _, ok = plane_fit(jnp.asarray(pts), jnp.ones(32, bool))
     # random blobs should mostly fail the 0.1 m inlier test
     assert np.asarray(ok).sum() < 8
+
+
+def test_voxel_downsample_packed_key_matches_lexsort(rng):
+    """Packed-key sort path must produce the same centroid SET as the
+    3-key lexsort path for sensor-range-bounded batches."""
+    import numpy as np
+
+    from better_fastlio2_tpu.ops.downsample import voxel_downsample
+
+    pts = jnp.asarray(rng.uniform(-60, 60, (5000, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random(5000) > 0.1)
+    a, av = voxel_downsample(pts, valid, 0.5, out_size=8192)
+    b, bv = voxel_downsample(pts, valid, 0.5, out_size=8192,
+                             packed_key=True)
+    assert int(av.sum()) == int(bv.sum())
+    sa = sorted(map(tuple, np.round(np.asarray(a)[np.asarray(av)], 4)))
+    sb = sorted(map(tuple, np.round(np.asarray(b)[np.asarray(bv)], 4)))
+    assert sa == sb
