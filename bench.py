@@ -54,6 +54,12 @@ def main():
         # (tools/profile_*; exact-parity tests in tests/test_voxel_map.py)
         map_dense_log2=(9, 9, 7),
         knn_max_live=12,
+        # steady-state insert caps: the claim loop and dense-index refresh
+        # are per-lane bound (~130 ns/lane scatter), so compacting them to
+        # the actual dense-miss rows (~hundreds/scan) saves ~4 ms/scan;
+        # overflow rows self-heal next scan (voxel_hash.insert docstring)
+        insert_claim_budget=2048,
+        insert_dense_budget=2048,
     )
     cfg.mapping = MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.5,

@@ -100,6 +100,12 @@ class ShapesConfig:
     # (9,9,7) = 512x512x128 cells = 268 MB HBM, spans 204.8x204.8x51.2 m
     # at 0.4 m voxels before torus wrap
     map_dense_log2: tuple | None = None
+    # steady-state insert caps (0 = off): compact the claim loop / dense
+    # refresh to this many dense-miss rows per scan (see voxel_hash.insert;
+    # overflow self-heals next scan).  Applied only to the post-warmup
+    # program when the plane-cache warmup split exists.
+    insert_claim_budget: int = 0
+    insert_dense_budget: int = 0
 
 
 @dataclass

@@ -163,6 +163,15 @@ def make_map(
     )
 
 
+def _dense_linear(dense_shape, ijk: jax.Array) -> jax.Array:
+    """Row index into the FLATTENED torus grid for each voxel coord.
+    Single-dim indices scatter/gather ~1.8x faster than 3-D indices on
+    v5e (tools/profile_insert3.py)."""
+    Gx, Gy, Gz = dense_shape[:3]
+    return ((ijk[..., 0] & (Gx - 1)) * Gy
+            + (ijk[..., 1] & (Gy - 1))) * Gz + (ijk[..., 2] & (Gz - 1))
+
+
 def _dense_lookup(dense: jax.Array, ijk: jax.Array) -> jax.Array:
     """Slot of each voxel coord via the dense index; -1 if absent/stale.
 
@@ -172,10 +181,7 @@ def _dense_lookup(dense: jax.Array, ijk: jax.Array) -> jax.Array:
     axis, >= every torus dim, so equal keys at the same torus address
     can only disagree if the grid spans more than the key period —
     excluded by construction)."""
-    Gx, Gy, Gz, _ = dense.shape
-    row = dense[ijk[..., 0] & (Gx - 1),
-                ijk[..., 1] & (Gy - 1),
-                ijk[..., 2] & (Gz - 1)]
+    row = dense.reshape(-1, 2)[_dense_linear(dense.shape, ijk)]
     hit = row[..., 0] == _pack(ijk)
     return jnp.where(hit, row[..., 1], -1)
 
@@ -259,7 +265,8 @@ def _lookup_slots(
     return slot
 
 
-@partial(jax.jit, static_argnames=("max_probe", "pre_grouped"),
+@partial(jax.jit, static_argnames=("max_probe", "pre_grouped",
+                                   "claim_budget", "dense_budget"),
          donate_argnums=(0,))
 def insert(
     m: VoxelHashMap,
@@ -267,6 +274,8 @@ def insert(
     valid: jax.Array,
     max_probe: int = 16,
     pre_grouped: bool = False,
+    claim_budget: int = 0,
+    dense_budget: int = 0,
 ) -> VoxelHashMap:
     """Insert a batch of world-frame points (padded; `valid` masks rows).
 
@@ -286,7 +295,22 @@ def insert(
     — the group sort and rank scan are skipped.  When the map has a
     dense index, existing voxels resolve through ONE dense-row gather
     and the probe/claim loop only runs for the misses.
-    """
+
+    claim_budget / dense_budget > 0 (pre_grouped + dense-index maps only)
+    cap the STEADY-STATE cost of the two per-lane-bound stages: scatter
+    on this TPU costs ~130 ns/lane regardless of masking, so the claim
+    loop and the dense-index refresh pay for all n rows even when only a
+    few hundred dense-miss rows need them.  With a budget, the dense-miss
+    rows are compacted (jnp.nonzero, ascending so determinism is kept)
+    and only `budget` of them are processed.  Overflow rows self-heal:
+    an unclaimed voxel stays a dense miss and retries on the next scan's
+    insert, so the caps trade a one-scan delay for ~5 ms/scan.  Use ONLY
+    once the map has grown past the initial burst (the pipeline keeps
+    the uncapped program for its warmup scans).  Budgets additionally
+    require the dense torus to span the batch extent per axis (grid_dim *
+    voxel >= 2*det_range): otherwise two voxels of one batch alias the
+    same torus cell and the pair stays permanently dense-miss, consuming
+    budget every scan (with enough pairs, starving other rows)."""
     C, B = m.capacity, m.bucket
     hmask = C - 1
     n = pts_world.shape[0]
@@ -336,11 +360,28 @@ def insert(
         slot0 = jnp.full(n, -1, jnp.int32)
         unresolved0 = is_head
 
+    use_claim_budget = claim_budget > 0 and pre_grouped and m.dense is not None
+    if use_claim_budget:
+        nb = claim_budget
+        sel = jnp.nonzero(unresolved0, size=nb, fill_value=n)[0].astype(
+            jnp.int32)
+        act = sel < n
+        safe_sel = jnp.minimum(sel, n - 1)
+        h_c = h_s[safe_sel]
+        key_c = key_target[safe_sel]
+        idx_c = jnp.arange(nb, dtype=jnp.int32)
+        slot_init = jnp.full(nb, -1, jnp.int32)
+        unres_c = act
+    else:
+        nb = n
+        h_c, key_c, idx_c = h_s, key_target, idx
+        slot_init, unres_c = slot0, unresolved0
+
     def claim_round(st):
         slot, probe, key_arr, unresolved = st[:4]
-        cand = (h_s + probe) & hmask
+        cand = (h_c + probe) & hmask
         kcand = key_arr[cand]
-        found = unresolved & (kcand == key_target)
+        found = unresolved & (kcand == key_c)
         slot = jnp.where(found, cand, slot)
         unresolved = unresolved & ~found
 
@@ -348,11 +389,11 @@ def insert(
         tryc = unresolved & (kcand == _KEY_EMPTY)
         claim = jnp.full(C, _INT_MAX, jnp.int32)
         claim = claim.at[jnp.where(tryc, cand, 0)].min(
-            jnp.where(tryc, idx, _INT_MAX)
+            jnp.where(tryc, idx_c, _INT_MAX)
         )
-        won = tryc & (claim[cand] == idx)
+        won = tryc & (claim[cand] == idx_c)
         key_arr = key_arr.at[jnp.where(won, cand, C)].set(
-            key_target, mode="drop"
+            key_c, mode="drop"
         )
         slot = jnp.where(won, cand, slot)
         unresolved = unresolved & ~won
@@ -361,14 +402,20 @@ def insert(
         return (slot, probe, key_arr, unresolved, jnp.any(unresolved))
 
     st = (
-        slot0,
-        jnp.zeros(n, jnp.int32),
+        slot_init,
+        jnp.zeros(nb, jnp.int32),
         m.key,
-        unresolved0,
-        jnp.any(unresolved0),
+        unres_c,
+        jnp.any(unres_c),
     )
     st = jax.lax.while_loop(lambda s: s[-1], claim_round, st)
-    head_slot, _, key_arr, _, _ = st
+    slot_res, _, key_arr, _, _ = st
+    if use_claim_budget:
+        # scatter the compacted results back over the dense-hit baseline
+        head_slot = slot0.at[jnp.where(act, sel, n)].set(
+            slot_res, mode="drop")
+    else:
+        head_slot = slot_res
 
     # every row inherits its group head's slot (-1 if the head failed)
     slot_all = head_slot[group_head]
@@ -411,17 +458,30 @@ def insert(
         )
         mom = mom.at[jnp.where(mok, slot_all, C)].add(rows, mode="drop")
 
-    # refresh the dense index for every head that resolved a slot (newly
-    # claimed or re-found — re-found rows repair entries lost to torus
-    # aliasing); one 2-int32 row scatter per head
+    # refresh the dense index for every head that resolved a slot through
+    # the claim loop (newly claimed, or re-found by probing — the latter
+    # repairs entries lost to torus aliasing / crop staleness); rows that
+    # resolved via the dense gather already have a correct row.  Flat
+    # 1-D linear indices: ~1.8x faster than 3-D index scatter on v5e.
     dense = m.dense
     if dense is not None:
         Gx, Gy, Gz, _ = dense.shape
-        upd = is_head & (head_slot >= 0)
-        ix = jnp.where(upd, ijk_s[:, 0] & (Gx - 1), Gx)
-        row = jnp.stack([key_target, head_slot], axis=-1)
-        dense = dense.at[ix, ijk_s[:, 1] & (Gy - 1),
-                         ijk_s[:, 2] & (Gz - 1)].set(row, mode="drop")
+        G = Gx * Gy * Gz
+        flat = dense.reshape(G, 2)
+        lin = _dense_linear(dense.shape, ijk_s)
+        need = unresolved0 & (head_slot >= 0)
+        if dense_budget > 0 and pre_grouped:
+            seld = jnp.nonzero(need, size=dense_budget,
+                               fill_value=n)[0].astype(jnp.int32)
+            sd = jnp.minimum(seld, n - 1)
+            lin_b = jnp.where(seld < n, lin[sd], G)
+            row_b = jnp.stack([key_target[sd], head_slot[sd]], axis=-1)
+            flat = flat.at[lin_b].set(row_b, mode="drop")
+        else:
+            upd = is_head & (head_slot >= 0)
+            row = jnp.stack([key_target, head_slot], axis=-1)
+            flat = flat.at[jnp.where(upd, lin, G)].set(row, mode="drop")
+        dense = flat.reshape(Gx, Gy, Gz, 2)
 
     return VoxelHashMap(key_arr, count, points, mom, dense, m.voxel_size)
 

@@ -49,8 +49,12 @@ class LIOState(NamedTuple):
     ekf_inited: jax.Array  # () bool — first scans only build the map
 
 
-def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range):
-    """Moving-cube local map management (laserMapping.cpp:1136-1200)."""
+def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
+                 enabled: jax.Array | None = None):
+    """Moving-cube local map management (laserMapping.cpp:1136-1200).
+
+    enabled=False (window padded-tail scans) suppresses the crop; the
+    cube fields it returns are discarded by the caller's select."""
     half = cube_len / 2.0
     lo0 = pos_lid - half
     hi0 = pos_lid + half
@@ -73,6 +77,8 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range):
 
     lo, hi, moved = jax.lax.cond(ls.cube_init, move_case, init_case)
     need_crop = ls.cube_init & jnp.any(moved)
+    if enabled is not None:
+        need_crop = need_crop & enabled
     m = jax.lax.cond(
         need_crop,
         lambda mm: voxel_hash.crop_outside_box(mm, lo, hi),
@@ -114,7 +120,20 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         last_end_rel: jax.Array,
         scan_end_t: jax.Array,
         acc_norm: jax.Array,
+        scan_valid: jax.Array | None = None,
     ):
+        # scan_valid (window mode's padded-tail gate) is handled WITHOUT
+        # a lax.cond around the body: a cond carrying the map through an
+        # identity branch forces copy-on-write on every scatter inside
+        # the window scan (~36 ms/window measured on v5e).  Instead the
+        # inputs are sanitized — with every point/IMU row masked out the
+        # map update is a bit-exact no-op — and the small state leaves
+        # are select-ed at the end.
+        ls_in = ls
+        if scan_valid is not None:
+            pt_valid = pt_valid & scan_valid
+            imu_b = imu_b._replace(mask=imu_b.mask & scan_valid)
+
         # ---- IMU forward propagation + backward undistortion -------------
         x_prop, P_prop, poses = imu.propagate(
             ls.x, ls.P, imu_b, Q, acc_norm, last_end_rel, scan_end_t,
@@ -124,7 +143,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
 
         # ---- local map FoV crop around the lidar position -----------------
         pos_lid = x_prop.pos + so3.quat_rotate(x_prop.rot, x_prop.off_t)
-        ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range)
+        ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range,
+                          enabled=scan_valid)
 
         # ---- scan downsample ---------------------------------------------
         # packed-key sort is valid when the sensor-frame extent fits the
@@ -169,11 +189,21 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # ---- map incremental insert --------------------------------------
         # when the scan leaf equals the map voxel, voxel_downsample's
         # centroids are one-per-map-voxel (each centroid stays inside its
-        # own cell) — the insert can skip its group sort entirely
+        # own cell) — the insert can skip its group sort entirely.
+        # Insert budgets apply only to the steady (post-warmup) program:
+        # the warmup variant (plane_cache=False under a warmup split)
+        # keeps the uncapped insert for the initial map-growth burst.
+        eff_pc = (getattr(cfg.ikdtree, "plane_cache", False)
+                  if plane_cache is None else plane_cache)
+        steady = eff_pc and getattr(cfg.ikdtree, "plane_cache_warmup", 0) > 0
         pts_world = measurement.transform_to_world(x_post, pts_ds)
         m = voxel_hash.insert(
             ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe,
             pre_grouped=(mp.surf_leaf_size == cfg.ikdtree.filter_size_map_min),
+            claim_budget=(getattr(sh, "insert_claim_budget", 0)
+                          if steady else 0),
+            dense_budget=(getattr(sh, "insert_dense_budget", 0)
+                          if steady else 0),
         )
 
         ls = LIOState(
@@ -187,6 +217,20 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             last_gyr_b=poses.gyr_b[-1],
             ekf_inited=jnp.array(True),
         )
+        if scan_valid is not None:
+            # restore the SMALL leaves for a padded scan (the map is
+            # untouched by construction — every row was masked out)
+            keep = lambda new, old: jnp.where(scan_valid, new, old)  # noqa: E731
+            ls = ls._replace(
+                x=jax.tree_util.tree_map(keep, ls.x, ls_in.x),
+                P=keep(ls.P, ls_in.P),
+                cube_lo=keep(ls.cube_lo, ls_in.cube_lo),
+                cube_hi=keep(ls.cube_hi, ls_in.cube_hi),
+                cube_init=keep(ls.cube_init, ls_in.cube_init),
+                last_acc_w=keep(ls.last_acc_w, ls_in.last_acc_w),
+                last_gyr_b=keep(ls.last_gyr_b, ls_in.last_gyr_b),
+                ekf_inited=keep(ls.ekf_inited, ls_in.ekf_inited),
+            )
         # Pack every per-scan output into ONE flat f32 vector: device->host
         # readback of small oddly-shaped arrays is pathologically slow on
         # the remote-TPU path (a (3,) readback can stall ~seconds), while a
@@ -204,6 +248,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 jnp.zeros(7, jnp.float32),  # pad to 16
             ]
         )
+        if scan_valid is not None:
+            info_vec = jnp.where(scan_valid, info_vec, 0.0)
         return ls, info_vec
 
     return step
@@ -268,15 +314,13 @@ def make_window_step_fn(cfg: LIOConfig, window: int,
     def body_of(xs, ls, acc_norm):
         batch = imu.ImuBatch(acc=xs.imu_acc, gyr=xs.imu_gyr,
                              t=xs.imu_t, mask=xs.imu_mask)
-
-        def run(ls):
-            return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
-                        xs.last_end_rel, xs.scan_end_t, acc_norm)
-
-        def skip(ls):
-            return ls, jnp.zeros(16, jnp.float32)
-
-        return jax.lax.cond(xs.scan_valid, run, skip, ls)
+        # NO lax.cond around the tick: an identity branch carrying the
+        # map forces copy-on-write on every scatter in the scan body
+        # (~36 ms/window on v5e); the core handles scan_valid by input
+        # sanitization + small-leaf selects instead.
+        return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
+                    xs.last_end_rel, xs.scan_end_t, acc_norm,
+                    scan_valid=xs.scan_valid)
 
     if not quantized:
 
@@ -336,7 +380,8 @@ class LIOPipeline:
     MAX_INI_COUNT = 10  # IMU_Processing.hpp:4
 
     def __init__(self, cfg: LIOConfig, pipelined: bool = False,
-                 window: int = 1, quantized: bool = False):
+                 window: int = 1, quantized: bool = False,
+                 readback_depth: int = 1):
         """pipelined=True overlaps the device->host pose readback with the
         next scan's compute: process_scan then returns the PREVIOUS scan's
         result (one-scan latency on the odometry stream, as a ROS
@@ -355,7 +400,13 @@ class LIOPipeline:
         transport pays ~20-25 ms latency PER transfer at ~35 MB/s, which
         otherwise rivals the compute itself.  Quantization steps are
         3.7 mm (points) / scan_duration/65535 (times) — below sensor
-        noise."""
+        noise.
+
+        readback_depth=D > 1 (pipelined window mode) keeps up to D
+        windows' info vectors pending on device and fetches them with ONE
+        device-side concatenation + ONE host readback: the remote
+        transport's ~24 ms readback round trip is paid once per D windows
+        instead of once per window.  Results lag by up to D*W scans."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.window = int(window)
@@ -389,9 +440,10 @@ class LIOPipeline:
         self.last_scan_end_abs: float | None = None  # f64 host-side clock
         self.trajectory: list[np.ndarray] = []
         self.pipelined = pipelined
+        self.readback_depth = max(1, int(readback_depth))
         self._pending_info = None
         self._wbuf: list[tuple] = []  # buffered scans of the open window
-        self._pending_w: tuple | None = None  # (infos handle, n_valid)
+        self._pending_ws: list[tuple] = []  # [(infos handle, n_valid)]
         self._results: list[dict] = []  # completed per-scan dicts (FIFO)
 
     # -- init ---------------------------------------------------------------
@@ -641,19 +693,37 @@ class LIOPipeline:
         self.ls, infos = wstep(
             self.ls, win, jnp.asarray(self.acc_norm, self.dtype)
         )
-        pending = (infos, n_valid)
-        if self.pipelined:
-            prev, self._pending_w = self._pending_w, pending
-        else:
-            prev, self._pending_w = pending, None
-        if prev is not None:
-            self._consume_window(prev)
+        self._pending_ws.append((infos, n_valid))
+        if not self.pipelined:
+            self._consume_pending(self._pending_ws)
+            self._pending_ws = []
+        elif len(self._pending_ws) > self.readback_depth:
+            # fetch every COMPLETED window (all but the one just
+            # dispatched) in one batched readback; the just-dispatched
+            # window stays pending so the fetch never waits on compute
+            ready, self._pending_ws = (self._pending_ws[:-1],
+                                       self._pending_ws[-1:])
+            self._consume_pending(ready)
 
-    def _consume_window(self, pending):
-        infos, n_valid = pending
-        v = np.asarray(infos)  # ONE readback for the whole window
-        for i in range(n_valid):
-            self._results.append(self._record(v[i]))
+    def _consume_pending(self, pending: list[tuple]):
+        if not pending:
+            return
+        if len(pending) == 1:
+            vs = [np.asarray(pending[0][0])]  # ONE readback for the window
+        else:
+            # ONE device-side concat + ONE readback for ALL windows: the
+            # remote transport pays its ~24 ms round trip once, not per
+            # window
+            stacked = np.asarray(
+                jnp.concatenate([p[0] for p in pending], axis=0))
+            vs, off = [], 0
+            for infos, _ in pending:
+                w = infos.shape[0]
+                vs.append(stacked[off:off + w])
+                off += w
+        for v, (_, n_valid) in zip(vs, pending):
+            for i in range(n_valid):
+                self._results.append(self._record(v[i]))
 
     def flush(self):
         """Drain buffered scans and pipelined readbacks (call at end).
@@ -664,9 +734,9 @@ class LIOPipeline:
         if self.window > 1:
             if self._wbuf:
                 self._dispatch_window()
-            if self._pending_w is not None:
-                p, self._pending_w = self._pending_w, None
-                self._consume_window(p)
+            if self._pending_ws:
+                p, self._pending_ws = self._pending_ws, []
+                self._consume_pending(p)
             out = self._results[-1] if self._results else None
             self._results = []
             return out

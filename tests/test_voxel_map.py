@@ -237,3 +237,48 @@ def test_insert_pre_grouped_matches_sorted(rng):
         np.testing.assert_allclose(
             np.asarray(m_a.mom).sum(0), np.asarray(m_b.mom).sum(0),
             rtol=1e-5, atol=1e-4)
+
+
+def test_insert_budgets_parity_and_self_heal(rng):
+    """claim_budget/dense_budget: under-budget batches must be IDENTICAL
+    to the uncapped insert; over-budget batches drop overflow rows but
+    self-heal when the same points are re-inserted (voxel_hash.insert)."""
+    import jax
+
+    from better_fastlio2_tpu.ops.downsample import voxel_downsample
+
+    pts = rng.uniform(-10, 10, size=(4000, 3)).astype(np.float32)
+    ds, dv = voxel_downsample(jnp.asarray(pts), jnp.ones(4000, bool), 0.5,
+                              out_size=4096)
+    n_vox_true = len({tuple(v) for v in
+                      np.floor(np.asarray(ds)[np.asarray(dv)] / 0.5)
+                      .astype(int).tolist()})
+
+    # NB the dense torus must span the batch extent per axis (20 m here)
+    # or in-batch aliased voxel pairs contend forever (insert docstring):
+    # (7,7,6) cells at 0.5 m = 64x64x32 m; capacity 2^14 keeps the load
+    # factor ~24% so no probe chain exceeds max_probe
+    kw = dict(capacity_log2=14, bucket=4, voxel_size=0.5,
+              dtype=jnp.float32, dense_log2=(7, 7, 6), moments=True)
+
+    # 1) budgets >= misses: bit-identical to uncapped
+    m_a = vh.insert(vh.make_map(**kw), ds, dv, pre_grouped=True)
+    m_b = vh.insert(vh.make_map(**kw), ds, dv, pre_grouped=True,
+                    claim_budget=4096, dense_budget=4096)
+    for a, b in zip(jax.tree_util.tree_leaves(m_a),
+                    jax.tree_util.tree_leaves(m_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 2) budget < new voxels: first insert claims only `budget`, repeated
+    # inserts converge to the full set, and the dense index serves knn
+    m = vh.make_map(**kw)
+    for _ in range(80):
+        m = vh.insert(m, ds, dv, pre_grouped=True,
+                      claim_budget=64, dense_budget=64)
+        if int(vh.num_voxels(m)) == n_vox_true:
+            break
+    assert int(vh.num_voxels(m)) == n_vox_true
+    q = np.asarray(ds)[np.asarray(dv)][:64]
+    _, d2, ok = vh.knn(m, jnp.asarray(q), k=1)
+    assert bool(np.all(np.asarray(ok)[:, 0]))
+    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-9)
