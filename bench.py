@@ -92,7 +92,10 @@ def main():
 
     # quantized wire format: 2 transfers/window instead of ~10 (the
     # transport pays ~20-25 ms latency per transfer at ~35 MB/s)
-    pipe = LIOPipeline(cfg, pipelined=True, window=window, quantized=True)
+    # unroll=window: ~0.5 ms/scan less lax.scan loop overhead (the
+    # window program compiles W-times larger, once)
+    pipe = LIOPipeline(cfg, pipelined=True, window=window, quantized=True,
+                       unroll=window)
     # warmup covers IMU init, map growth, and the jit compiles of BOTH
     # window programs (the 5-NN warmup variant fires first, the
     # plane-cache program compiles at its first post-warmup dispatch —

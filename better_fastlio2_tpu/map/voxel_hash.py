@@ -469,8 +469,16 @@ def insert(
         G = Gx * Gy * Gz
         flat = dense.reshape(G, 2)
         lin = _dense_linear(dense.shape, ijk_s)
-        need = unresolved0 & (head_slot >= 0)
-        if dense_budget > 0 and pre_grouped:
+        if use_claim_budget and dense_budget > 0:
+            # the rows needing a dense write are EXACTLY the claim-loop
+            # rows that resolved a slot — reuse the claim compaction
+            # (sel/act/slot_res) instead of a second jnp.nonzero pass
+            ok_d = act & (slot_res >= 0)
+            lin_b = jnp.where(ok_d, lin[jnp.minimum(sel, n - 1)], G)
+            row_b = jnp.stack([key_c, slot_res], axis=-1)
+            flat = flat.at[lin_b].set(row_b, mode="drop")
+        elif dense_budget > 0 and pre_grouped:
+            need = unresolved0 & (head_slot >= 0)
             seld = jnp.nonzero(need, size=dense_budget,
                                fill_value=n)[0].astype(jnp.int32)
             sd = jnp.minimum(seld, n - 1)

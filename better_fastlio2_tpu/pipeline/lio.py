@@ -294,7 +294,8 @@ class QuantWindowInputs(NamedTuple):
 
 def make_window_step_fn(cfg: LIOConfig, window: int,
                         plane_cache: bool | None = None,
-                        quantized: bool = False):
+                        quantized: bool = False,
+                        unroll: int = 1):
     """Jitted W-scan device loop: lax.scan of the tick inside ONE program.
 
     The remote-TPU transport costs ~1.4 ms per program launch and a
@@ -329,7 +330,7 @@ def make_window_step_fn(cfg: LIOConfig, window: int,
             def body(ls, xs):
                 return body_of(xs, ls, acc_norm)
 
-            ls, infos = jax.lax.scan(body, ls, w)
+            ls, infos = jax.lax.scan(body, ls, w, unroll=unroll)
             return ls, infos  # infos: (W, 16)
 
         return wstep
@@ -362,7 +363,8 @@ def make_window_step_fn(cfg: LIOConfig, window: int,
             )
             return body_of(xs, ls, acc_norm)
 
-        ls, infos = jax.lax.scan(body, ls, (q.bulk, q.meta))
+        ls, infos = jax.lax.scan(body, ls, (q.bulk, q.meta),
+                                 unroll=unroll)
         return ls, infos
 
     return wstep_q
@@ -381,7 +383,7 @@ class LIOPipeline:
 
     def __init__(self, cfg: LIOConfig, pipelined: bool = False,
                  window: int = 1, quantized: bool = False,
-                 readback_depth: int = 1):
+                 readback_depth: int = 1, unroll: int = 1):
         """pipelined=True overlaps the device->host pose readback with the
         next scan's compute: process_scan then returns the PREVIOUS scan's
         result (one-scan latency on the odometry stream, as a ROS
@@ -406,14 +408,20 @@ class LIOPipeline:
         windows' info vectors pending on device and fetches them with ONE
         device-side concatenation + ONE host readback: the remote
         transport's ~24 ms readback round trip is paid once per D windows
-        instead of once per window.  Results lag by up to D*W scans."""
+        instead of once per window.  Results lag by up to D*W scans.
+
+        unroll > 1 unrolls the window's lax.scan body (jax scan unroll):
+        ~0.5 ms/scan less loop overhead at unroll=window, at the price of
+        a window-times-larger program to compile."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.window = int(window)
         self.quantized = bool(quantized) and self.window > 1
+        self.unroll = max(1, int(unroll))
         self._step = make_step_fn(cfg) if self.window == 1 else None
         self._wstep = (
-            make_window_step_fn(cfg, self.window, quantized=self.quantized)
+            make_window_step_fn(cfg, self.window, quantized=self.quantized,
+                                unroll=self.unroll)
             if self.window > 1 else None
         )
         # plane-cache warmup: run the 5-NN association for the first
@@ -430,7 +438,7 @@ class LIOPipeline:
             else:
                 self._wstep_warm = make_window_step_fn(
                     cfg, self.window, plane_cache=False,
-                    quantized=self.quantized,
+                    quantized=self.quantized, unroll=self.unroll,
                 )
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
