@@ -126,20 +126,26 @@ def _flat_to_err_rows(M_flat: jax.Array, x_new: State, x_before: State, seg_rot,
     )
 
 
-def predict(
-    x: State, P: jax.Array, acc: jax.Array, gyro: jax.Array, dt, Q: jax.Array
-) -> tuple[State, jax.Array]:
-    """One forward-propagation step (esekfom.hpp:280-402).
+def predict_mean(
+    x: State, acc: jax.Array, gyro: jax.Array, dt
+) -> State:
+    """Mean-only forward step: x ⊞ f(x,u)·dt (esekfom.hpp:280-287)."""
+    return oplus_flat(x, get_f(x, acc, gyro), dt)
 
-    x <- x ⊞ f(x,u)·dt;  P <- F_x P F_x^T + (dt F_w) Q (dt F_w)^T.
-    `dt` may be 0 (masked/padded IMU sample): the state is unchanged and
-    F_x = I, so P passes through exactly.
-    """
+
+def predict_jacobians(
+    x: State, x_new: State, acc: jax.Array, gyro: jax.Array, dt
+) -> tuple[jax.Array, jax.Array]:
+    """(F_x, F_w) of the step x -> x_new (esekfom.hpp:290-402).
+
+    Split from `predict` so the IMU chain can propagate means serially
+    (cheap small ops) and then build ALL steps' Jacobians batched via
+    vmap + compose the covariance with an associative scan — the serial
+    per-sample 23x23 algebra dominated propagation cost on TPU."""
     dtype = x.dtype
     f_flat = get_f(x, acc, gyro)
     fx_flat = df_dx(x, acc, gyro)
     fw_flat = df_dw(x)
-    x_new = oplus_flat(x, f_flat, dt)
 
     seg_rot = -f_flat[3:6] * dt
     seg_ext = -f_flat[6:9] * dt
@@ -156,8 +162,20 @@ def predict(
     fx_err = _flat_to_err_rows(fx_flat, x_new, x, seg_rot, seg_ext, seg_s2)
     fw_err = _flat_to_err_rows(fw_flat, x_new, x, seg_rot, seg_ext, seg_s2)
 
-    F_x = F_x1 + fx_err * dt
-    F_w = fw_err * dt
+    return F_x1 + fx_err * dt, fw_err * dt
+
+
+def predict(
+    x: State, P: jax.Array, acc: jax.Array, gyro: jax.Array, dt, Q: jax.Array
+) -> tuple[State, jax.Array]:
+    """One forward-propagation step (esekfom.hpp:280-402).
+
+    x <- x ⊞ f(x,u)·dt;  P <- F_x P F_x^T + (dt F_w) Q (dt F_w)^T.
+    `dt` may be 0 (masked/padded IMU sample): the state is unchanged and
+    F_x = I, so P passes through exactly.
+    """
+    x_new = predict_mean(x, acc, gyro, dt)
+    F_x, F_w = predict_jacobians(x, x_new, acc, gyro, dt)
     P_new = F_x @ P @ F_x.T + F_w @ Q @ F_w.T
     return x_new, P_new
 

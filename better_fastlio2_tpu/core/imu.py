@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..utils import s2 as s2m
 from ..utils import so3
-from .esikf import predict
+from .esikf import predict, predict_jacobians, predict_mean
 from .state import State, init_P
 
 __all__ = ["ImuBatch", "ImuPoses", "imu_init", "propagate", "undistort", "build_Q"]
@@ -129,7 +129,12 @@ def propagate(
     g_scale = s2m.GRAVITY / jnp.maximum(acc_norm, 1e-6)
 
     def step(carry, inp):
-        x, P, acc_w_prev, gyr_b_prev = carry
+        # mean-only serial chain — the 23x23 covariance algebra is NOT
+        # in the scan: per-sample F/F_w are built batched afterwards and
+        # composed with an associative scan (predict_jacobians docstring;
+        # the serial small-matrix chain cost ~1.6 ms/scan on v5e, the
+        # split form ~half that)
+        x, acc_w_prev, gyr_b_prev = carry
         acc_h, acc_t, gyr_h, gyr_t, t_h, t_t, ok = inp
         acc_avr = 0.5 * (acc_h + acc_t) * g_scale
         gyr_avr = 0.5 * (gyr_h + gyr_t)
@@ -138,7 +143,7 @@ def propagate(
         tt_safe = jnp.where(ok, t_t, 0.0)
         t0_safe = jnp.where(ok, t0, 0.0)
         dt = jnp.where(ok & (tt_safe > t0_safe), tt_safe - t0_safe, 0.0)
-        x2, P2 = predict(x, P, acc_avr, gyr_avr, dt, Q)
+        x2 = predict_mean(x, acc_avr, gyr_avr, dt)
         # masked (padding) steps freeze the recorded rates so downstream
         # gathers never see garbage
         gyr_b = jnp.where(ok, gyr_avr - x2.bg, gyr_b_prev)
@@ -146,7 +151,7 @@ def propagate(
             ok, so3.quat_rotate(x2.rot, acc_avr - x2.ba) + x2.grav, acc_w_prev
         )
         pose = (t_t, x2.pos, x2.vel, x2.rot, acc_w, gyr_b)
-        return (x2, P2, acc_w, gyr_b), pose
+        return (x2, acc_w, gyr_b), (pose, x, x2, acc_avr, gyr_avr, dt)
 
     inputs = (
         batch.acc[:-1],
@@ -157,9 +162,31 @@ def propagate(
         batch.t[1:],
         batch.mask[1:] & batch.mask[:-1],
     )
-    (x_end, P_end, _, _), poses = jax.lax.scan(
-        step, (x, P, last_acc_w, last_gyr_b), inputs
+    # partially unrolled: M-1 is small (typically 15) and each step is a
+    # handful of tiny vector ops, so loop machinery dominates; full
+    # unroll costs ~3x trace/compile time for little extra
+    (x_end, _, _), (poses, x_pre, x_post, acc_all, gyr_all, dt_all) = (
+        jax.lax.scan(step, (x, last_acc_w, last_gyr_b), inputs,
+                     unroll=4)
     )
+
+    # batched Jacobians of every step, then covariance composition:
+    #   P_{i+1} = F_i P_i F_i^T + G_i,  G_i = F_w Q F_w^T
+    # composes associatively as (F, G) with
+    #   (F2, G2) ∘ (F1, G1) = (F2 F1, F2 G1 F2^T + G2)
+    F_all, Fw_all = jax.vmap(predict_jacobians)(
+        x_pre, x_post, acc_all, gyr_all, dt_all
+    )
+    G_all = jnp.einsum("nij,jk,nlk->nil", Fw_all, Q, Fw_all)
+
+    def compose(a, b):  # a = earlier prefix, b = later element
+        Fa, Ga = a
+        Fb, Gb = b
+        return Fb @ Fa, jnp.einsum("...ij,...jk,...lk->...il", Fb, Ga, Fb) + Gb
+
+    F_pre, G_pre = jax.lax.associative_scan(compose, (F_all, G_all))
+    F_tot, G_tot = F_pre[-1], G_pre[-1]
+    P_end = F_tot @ P @ F_tot.T + G_tot
 
     # prepend pose 0 = incoming state at scan start
     t_arr = jnp.concatenate([jnp.zeros(1, batch.t.dtype), poses[0]])
