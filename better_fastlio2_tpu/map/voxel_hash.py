@@ -266,7 +266,8 @@ def _lookup_slots(
 
 
 @partial(jax.jit, static_argnames=("max_probe", "pre_grouped",
-                                   "claim_budget", "dense_budget"),
+                                   "claim_budget", "dense_budget",
+                                   "moments_only"),
          donate_argnums=(0,))
 def insert(
     m: VoxelHashMap,
@@ -276,6 +277,7 @@ def insert(
     pre_grouped: bool = False,
     claim_budget: int = 0,
     dense_budget: int = 0,
+    moments_only: bool = False,
 ) -> VoxelHashMap:
     """Insert a batch of world-frame points (padded; `valid` masks rows).
 
@@ -310,7 +312,15 @@ def insert(
     require the dense torus to span the batch extent per axis (grid_dim *
     voxel >= 2*det_range): otherwise two voxels of one batch alias the
     same torus cell and the pair stays permanently dense-miss, consuming
-    budget every scan (with enough pairs, starving other rows)."""
+    budget every scan (with enough pairs, starving other rows).
+
+    moments_only=True (requires moments) skips the bucket point/count
+    appends — three ~n-lane scatters — and updates only key claims, the
+    moment accumulators, and the dense index.  Correct for the
+    steady-state plane-cache program, whose association reads ONLY
+    mom/dense/key; the point buckets then stay frozen at their warmup
+    content, which the 5-NN fallback path may still read (stale but
+    valid world points)."""
     C, B = m.capacity, m.bucket
     hmask = C - 1
     n = pts_world.shape[0]
@@ -422,16 +432,21 @@ def insert(
     slot_all = jnp.where(valid_s, slot_all, -1)
 
     # ---- append points into buckets (single 2-D scatter) ------------------
-    base = m.count[jnp.maximum(slot_all, 0)]
-    dest = base + rank
-    ok = (slot_all >= 0) & (dest < B) & valid_s
-    srow = jnp.where(ok, slot_all, C)  # OOB rows drop
-    points = m.points.at[srow, jnp.where(ok, dest, 0)].set(pts_s, mode="drop")
+    if moments_only:
+        assert m.mom is not None, "moments_only insert needs moment storage"
+        points, count = m.points, m.count
+    else:
+        base = m.count[jnp.maximum(slot_all, 0)]
+        dest = base + rank
+        ok = (slot_all >= 0) & (dest < B) & valid_s
+        srow = jnp.where(ok, slot_all, C)  # OOB rows drop
+        points = m.points.at[srow, jnp.where(ok, dest, 0)].set(
+            pts_s, mode="drop")
 
-    add = jnp.zeros(C, jnp.int32).at[jnp.where(ok, slot_all, 0)].add(
-        ok.astype(jnp.int32)
-    )
-    count = jnp.minimum(m.count + add, B)
+        add = jnp.zeros(C, jnp.int32).at[jnp.where(ok, slot_all, 0)].add(
+            ok.astype(jnp.int32)
+        )
+        count = jnp.minimum(m.count + add, B)
 
     # moment accumulation: EVERY resolved point contributes (also rows
     # dropped by the full bucket), in voxel-corner-relative coordinates
@@ -491,7 +506,9 @@ def insert(
             flat = flat.at[jnp.where(upd, lin, G)].set(row, mode="drop")
         dense = flat.reshape(Gx, Gy, Gz, 2)
 
-    return VoxelHashMap(key_arr, count, points, mom, dense, m.voxel_size)
+    return VoxelHashMap(
+        key_arr, count, points, mom, dense, m.voxel_size
+    )
 
 
 def _neighbor_offsets(n_neighbors: int) -> jnp.ndarray:

@@ -204,6 +204,11 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                           if steady else 0),
             dense_budget=(getattr(sh, "insert_dense_budget", 0)
                           if steady else 0),
+            # the steady plane-cache program's association reads only
+            # mom/dense/key — skip the three bucket-append scatters (the
+            # warmup program keeps appending so the 5-NN fallback path
+            # has real points to search)
+            moments_only=steady and ls.map.mom is not None,
         )
 
         ls = LIOState(

@@ -282,3 +282,38 @@ def test_insert_budgets_parity_and_self_heal(rng):
     _, d2, ok = vh.knn(m, jnp.asarray(q), k=1)
     assert bool(np.all(np.asarray(ok)[:, 0]))
     np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-9)
+
+
+def test_insert_moments_only_matches_full_except_buckets(rng):
+    """moments_only insert: key/mom/dense identical to the full insert,
+    points/count untouched (voxel_hash.insert moments_only docstring)."""
+    import jax
+
+    from better_fastlio2_tpu.ops.downsample import voxel_downsample
+
+    pts = rng.uniform(-10, 10, size=(4000, 3)).astype(np.float32)
+    ds, dv = voxel_downsample(jnp.asarray(pts), jnp.ones(4000, bool), 0.5,
+                              out_size=4096)
+    kw = dict(capacity_log2=14, bucket=4, voxel_size=0.5,
+              dtype=jnp.float32, dense_log2=(7, 7, 6), moments=True)
+
+    # seed both maps with a first (full) insert = the warmup program
+    seed = rng.uniform(-10, 10, size=(1000, 3)).astype(np.float32)
+    sv = jnp.ones(1000, bool)
+    sd, sdv = voxel_downsample(jnp.asarray(seed), sv, 0.5, out_size=1024)
+    m0 = vh.insert(vh.make_map(**kw), sd, sdv, pre_grouped=True)
+
+    copy = lambda m: jax.tree_util.tree_map(jnp.copy, m)  # noqa: E731
+    m_full = vh.insert(copy(m0), ds, dv, pre_grouped=True)
+    m_mo = vh.insert(copy(m0), ds, dv, pre_grouped=True, moments_only=True)
+
+    np.testing.assert_array_equal(np.asarray(m_full.key), np.asarray(m_mo.key))
+    np.testing.assert_array_equal(np.asarray(m_full.mom), np.asarray(m_mo.mom))
+    np.testing.assert_array_equal(np.asarray(m_full.dense),
+                                  np.asarray(m_mo.dense))
+    # buckets frozen at the seed state
+    np.testing.assert_array_equal(np.asarray(m_mo.points),
+                                  np.asarray(m0.points))
+    np.testing.assert_array_equal(np.asarray(m_mo.count), np.asarray(m0.count))
+    # and the full insert did change them (the test is not vacuous)
+    assert not np.array_equal(np.asarray(m_full.count), np.asarray(m0.count))
