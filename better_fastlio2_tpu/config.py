@@ -69,6 +69,13 @@ class IkdtreeConfig:
     # cache: the n>=5 accumulated-points gate needs a few scans of map
     # density (a young 7-cell union rejects ~70% of associations)
     plane_cache_warmup: int = 12
+    # freeze each voxel's moment accumulator after this many points — the
+    # moment-path analog of the bucket downsample-on-insert freeze; 0 =
+    # unbounded.  Unbounded accumulation re-averages a drifting filter's
+    # own biased re-observations into the planes it matches against
+    # (meters-level divergence observed when the plane-cache association
+    # engages while the pose error is still large).
+    mom_cap: int = 24
 
 
 @dataclass

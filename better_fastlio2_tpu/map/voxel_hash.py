@@ -227,6 +227,19 @@ def _pack(ijk: jax.Array) -> jax.Array:
     )
 
 
+def _unpack_rel(key: jax.Array, center_ijk: jax.Array) -> jax.Array:
+    """(…,3) voxel coords recovered from a LIVE packed key, unwrapped to
+    the representative nearest `center_ijk` (exact while the map extent
+    stays within ±512 cells of the center per axis — guaranteed for the
+    LIO local map, whose FoV cube spans at most 800 cells).  Unlike the
+    points-derived `coords` property this needs no stored points, so it
+    is valid for voxels created by moments_only inserts."""
+    w = jnp.stack(
+        [key & 1023, (key >> 10) & 1023, (key >> 20) & 1023], axis=-1
+    )
+    return center_ijk + (((w - center_ijk) + 512) & 1023) - 512
+
+
 def _lookup_slots(
     key_arr: jax.Array, ijk: jax.Array, max_probe: int
 ) -> jax.Array:
@@ -267,7 +280,7 @@ def _lookup_slots(
 
 @partial(jax.jit, static_argnames=("max_probe", "pre_grouped",
                                    "claim_budget", "dense_budget",
-                                   "moments_only"),
+                                   "moments_only", "claim_only", "mom_cap"),
          donate_argnums=(0,))
 def insert(
     m: VoxelHashMap,
@@ -278,6 +291,8 @@ def insert(
     claim_budget: int = 0,
     dense_budget: int = 0,
     moments_only: bool = False,
+    claim_only: bool = False,
+    mom_cap: int = 0,
 ) -> VoxelHashMap:
     """Insert a batch of world-frame points (padded; `valid` masks rows).
 
@@ -320,7 +335,24 @@ def insert(
     steady-state plane-cache program, whose association reads ONLY
     mom/dense/key; the point buckets then stay frozen at their warmup
     content, which the 5-NN fallback path may still read (stale but
-    valid world points)."""
+    valid world points).
+
+    claim_only=True only claims slots (key + dense rows) for the batch's
+    voxels — no bucket appends, no moment accumulation.  Used by rebuild
+    to re-create every live voxel (including point-less moments_only
+    ones) before re-inserting the stored points.
+
+    mom_cap > 0 bounds each voxel's moment accumulator to a total weight
+    of `mom_cap` points: after accumulation, rows with n > mom_cap are
+    uniformly rescaled to weight mom_cap (the mean and scatter shape are
+    preserved).  This is an exponential-forgetting analog of the
+    bucket's downsample-on-insert freeze (ikd_Tree.cpp:414): it bounds
+    how much weight historical observations carry (so a re-observation
+    cannot be outvoted indefinitely by stale geometry, and the f32 sums
+    cannot grow without bound) while still admitting new points.
+    Implemented as one elementwise pass over the moment table (~40 MB,
+    bandwidth-bound) — cheaper than gathering per-row counts to gate the
+    scatter."""
     C, B = m.capacity, m.bucket
     hmask = C - 1
     n = pts_world.shape[0]
@@ -432,8 +464,9 @@ def insert(
     slot_all = jnp.where(valid_s, slot_all, -1)
 
     # ---- append points into buckets (single 2-D scatter) ------------------
-    if moments_only:
-        assert m.mom is not None, "moments_only insert needs moment storage"
+    if moments_only or claim_only:
+        assert claim_only or m.mom is not None, (
+            "moments_only insert needs moment storage")
         points, count = m.points, m.count
     else:
         base = m.count[jnp.maximum(slot_all, 0)]
@@ -451,7 +484,7 @@ def insert(
     # moment accumulation: EVERY resolved point contributes (also rows
     # dropped by the full bucket), in voxel-corner-relative coordinates
     mom = m.mom
-    if mom is not None:
+    if mom is not None and not claim_only:
         mok = (slot_all >= 0) & valid_s
         q = pts_s - ijk_s.astype(pts_s.dtype) * m.voxel_size
         one = mok.astype(pts_s.dtype)
@@ -472,6 +505,11 @@ def insert(
             axis=-1,
         )
         mom = mom.at[jnp.where(mok, slot_all, C)].add(rows, mode="drop")
+        if mom_cap > 0:
+            scale = jnp.minimum(
+                1.0, mom_cap / jnp.maximum(mom[:, 0], 1.0)
+            ).astype(mom.dtype)
+            mom = mom * scale[:, None]
 
     # refresh the dense index for every head that resolved a slot through
     # the claim loop (newly claimed, or re-found by probing — the latter
@@ -716,20 +754,46 @@ def knn_sortjoin(
     )
 
 
-@jax.jit
-def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHashMap:
+@partial(jax.jit, static_argnames=("skip_points",))
+def crop_outside_box(
+    m: VoxelHashMap,
+    lo: jax.Array,
+    hi: jax.Array,
+    enabled: jax.Array | None = None,
+    skip_points: bool = False,
+) -> VoxelHashMap:
     """Tombstone every voxel whose center lies outside [lo, hi) — the
     analog of the moving-FoV-cube box deletion (lasermap_fov_segment,
     laserMapping.cpp:1136-1200 + ikd-Tree Delete_Point_Boxes).
 
-    Voxel coords come from each bucket's first stored point (exact for
-    live slots; sentinel points put empty slots far outside, but the kill
-    mask is gated on liveness anyway)."""
+    Voxel coords are recovered from the packed keys, unwrapped around the
+    box center (valid while the map extent stays within ±512 cells of it
+    — always true for the moving-cube local map).  Key-derived coords
+    stay exact for voxels created by moments_only inserts, whose buckets
+    hold no points.
+
+    `enabled` (traced bool) gates the kill mask so the call can run
+    branch-free inside a scan body — a lax.cond with an identity branch
+    carrying the map forces copy-on-write, while enabled=False here is a
+    bit-exact elementwise identity.  skip_points=True leaves the points
+    array untouched (correct for the steady plane-cache program: its
+    association never reads points, and a stale dense row of a killed
+    voxel already reads as empty through the zeroed moments)."""
     live = (m.key & _LIVE_BIT) != 0
-    ijk = _voxel_of(m.points[:, 0, :], m.voxel_size)
+    center_ijk = _voxel_of((lo + hi) * 0.5, m.voxel_size)
+    ijk = _unpack_rel(m.key, center_ijk)
     centers = (ijk.astype(m.points.dtype) + 0.5) * m.voxel_size
     outside = jnp.any((centers < lo) | (centers >= hi), axis=-1)
     kill = live & outside
+    if enabled is not None:
+        kill = kill & enabled
+    if skip_points:
+        return m._replace(
+            key=jnp.where(kill, _KEY_TOMB, m.key),
+            count=jnp.where(kill, 0, m.count),
+            mom=(jnp.where(kill[:, None], 0.0, m.mom)
+                 if m.mom is not None else None),
+        )
 
     # The dense index is deliberately NOT touched: clearing killed rows
     # needs a capacity-wide scatter (~100 ms at 2^20 slots — scatter cost
@@ -749,13 +813,23 @@ def crop_outside_box(m: VoxelHashMap, lo: jax.Array, hi: jax.Array) -> VoxelHash
     )
 
 
-def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
-    """Compact the table: re-insert every live point into a fresh map.
+def rebuild(
+    m: VoxelHashMap, max_probe: int = 16, center: jax.Array | None = None
+) -> VoxelHashMap:
+    """Compact the table: re-create every live voxel in a fresh map.
 
     The synchronous, deterministic analog of the reference's background
     rebuild thread + operation replay log (ikd_Tree.cpp:201-316).  Call
     when tombstone_fraction grows (e.g. > 0.2) or every `kd_step`-like
     cadence (recontructIKdTree, laserMapping.cpp:612-669).
+
+    `center` (world-frame (3,), e.g. the FoV-cube center) enables
+    key-derived voxel coords (valid within ±512 cells of it) so that
+    voxels created by moments_only inserts — whose buckets hold no
+    points — survive the rebuild with their moments.  Without it, coords
+    come from each bucket's first stored point and point-less voxels are
+    silently dropped: pass `center` for any map that ever saw a
+    moments_only insert.
     """
     C, B = m.capacity, m.bucket
     live_slot = (m.key & _LIVE_BIT) != 0
@@ -774,6 +848,19 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
         ),
         moments=m.mom is not None,
     )
+    if center is not None:
+        coords = _unpack_rel(
+            m.key, _voxel_of(jnp.asarray(center, m.points.dtype),
+                             m.voxel_size)
+        )
+        # claim every live voxel first (center representative points) so
+        # point-less voxels exist in the fresh table, then re-insert the
+        # stored points into the claimed slots
+        reps = (coords.astype(m.points.dtype) + 0.5) * m.voxel_size
+        fresh = insert(fresh, reps, live_slot, max_probe=max_probe,
+                       pre_grouped=True, claim_only=True)
+    else:
+        coords = m.coords
     out = insert(
         fresh,
         m.points.reshape(C * B, 3),
@@ -784,7 +871,7 @@ def rebuild(m: VoxelHashMap, max_probe: int = 16) -> VoxelHashMap:
         # carry the FULL accumulated moments across (re-inserting only the
         # <=B stored points would forget the accumulation of dropped ones):
         # overwrite each surviving voxel's fresh moments with its old row
-        new_slot = _lookup_slots(out.key, m.coords, max_probe)
+        new_slot = _lookup_slots(out.key, coords, max_probe)
         ok = live_slot & (new_slot >= 0)
         mom = out.mom.at[jnp.where(ok, new_slot, C)].set(m.mom, mode="drop")
         out = out._replace(mom=mom)

@@ -369,7 +369,8 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
                 n, d, ok = meas.finalize_plane_from_sums(
                     sums, ijk, m_loc.voxel_size, dv_all
                 )
-                return meas.MeasureAux(n, d, ok, jnp.array(True))
+                return meas.MeasureAux(n, d, ok, jnp.array(True),
+                                       aux.assoc_ijk, jnp.array(True))
 
             def search_knn(_):
                 nbp, d2, okk = _local_knn_merge(
@@ -378,7 +379,8 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
                 nn_ok = (jnp.all(okk, -1)
                          & (d2[:, 4] <= meas.MAX_NN_DIST2) & dv_all)
                 n, d, ok = meas.plane_fit(nbp, nn_ok)
-                return meas.MeasureAux(n, d, ok, jnp.array(True))
+                return meas.MeasureAux(n, d, ok, jnp.array(True),
+                                       aux.assoc_ijk, jnp.array(True))
 
             def do_search(_):
                 return jax.lax.cond(use_knn, search_knn, search_moments,
@@ -412,6 +414,8 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
             d=jnp.zeros(ds_all.shape[0], dtype),
             fit_ok=jnp.zeros(ds_all.shape[0], bool),
             searched=jnp.array(False),
+            assoc_ijk=jnp.zeros((ds_all.shape[0], 3), jnp.int32),
+            refreshed=jnp.array(False),
         )
         x_post, P_post, _, _ = esikf_mod.update_iterated(
             x_prop, P_prop, measure, aux0,

@@ -50,11 +50,13 @@ class LIOState(NamedTuple):
 
 
 def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
-                 enabled: jax.Array | None = None):
+                 enabled: jax.Array | None = None,
+                 skip_points: bool = False):
     """Moving-cube local map management (laserMapping.cpp:1136-1200).
 
     enabled=False (window padded-tail scans) suppresses the crop; the
-    cube fields it returns are discarded by the caller's select."""
+    cube fields it returns are discarded by the caller's select.
+    skip_points: see crop_outside_box (steady plane-cache program)."""
     half = cube_len / 2.0
     lo0 = pos_lid - half
     hi0 = pos_lid + half
@@ -79,12 +81,10 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
     need_crop = ls.cube_init & jnp.any(moved)
     if enabled is not None:
         need_crop = need_crop & enabled
-    m = jax.lax.cond(
-        need_crop,
-        lambda mm: voxel_hash.crop_outside_box(mm, lo, hi),
-        lambda mm: mm,
-        ls.map,
-    )
+    # branch-free: the kill mask is gated on need_crop inside the crop (a
+    # lax.cond identity branch carrying the map forces copy-on-write)
+    m = voxel_hash.crop_outside_box(ls.map, lo, hi, enabled=need_crop,
+                                    skip_points=skip_points)
     return ls._replace(map=m, cube_lo=lo, cube_hi=hi,
                        cube_init=jnp.array(True))
 
@@ -110,6 +110,9 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
     mp = cfg.mapping
     dtype = jnp.dtype(cfg.dtype)
     Q = imu.build_Q(mp.gyr_cov, mp.acc_cov, mp.b_gyr_cov, mp.b_acc_cov, dtype)
+    eff_pc = (getattr(cfg.ikdtree, "plane_cache", False)
+              if plane_cache is None else plane_cache)
+    steady = eff_pc and getattr(cfg.ikdtree, "plane_cache_warmup", 0) > 0
 
     def step(
         ls: LIOState,
@@ -144,7 +147,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # ---- local map FoV crop around the lidar position -----------------
         pos_lid = x_prop.pos + so3.quat_rotate(x_prop.rot, x_prop.off_t)
         ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range,
-                          enabled=scan_valid)
+                          enabled=scan_valid, skip_points=steady)
 
         # ---- scan downsample ---------------------------------------------
         # packed-key sort is valid when the sensor-frame extent fits the
@@ -193,9 +196,6 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # Insert budgets apply only to the steady (post-warmup) program:
         # the warmup variant (plane_cache=False under a warmup split)
         # keeps the uncapped insert for the initial map-growth burst.
-        eff_pc = (getattr(cfg.ikdtree, "plane_cache", False)
-                  if plane_cache is None else plane_cache)
-        steady = eff_pc and getattr(cfg.ikdtree, "plane_cache_warmup", 0) > 0
         pts_world = measurement.transform_to_world(x_post, pts_ds)
         m = voxel_hash.insert(
             ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe,
@@ -209,6 +209,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             # warmup program keeps appending so the 5-NN fallback path
             # has real points to search)
             moments_only=steady and ls.map.mom is not None,
+            mom_cap=(getattr(cfg.ikdtree, "mom_cap", 0)
+                     if ls.map.mom is not None else 0),
         )
 
         ls = LIOState(
@@ -557,7 +559,12 @@ class LIOPipeline:
             from ..map.voxel_hash import rebuild, tombstone_fraction
 
             if float(tombstone_fraction(self.ls.map)) > 0.1:
-                self.ls = self.ls._replace(map=rebuild(self.ls.map))
+                # cube center keys the coord unwrap so point-less
+                # (moments_only) voxels survive with their moments
+                center = np.asarray(
+                    (self.ls.cube_lo + self.ls.cube_hi) * 0.5)
+                self.ls = self.ls._replace(
+                    map=rebuild(self.ls.map, center=center))
 
         last_end_rel = (
             (self.last_scan_end_abs - scan_beg_abs)

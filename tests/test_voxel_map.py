@@ -317,3 +317,49 @@ def test_insert_moments_only_matches_full_except_buckets(rng):
     np.testing.assert_array_equal(np.asarray(m_mo.count), np.asarray(m0.count))
     # and the full insert did change them (the test is not vacuous)
     assert not np.array_equal(np.asarray(m_full.count), np.asarray(m0.count))
+
+
+def test_crop_and_rebuild_preserve_moments_only_voxels(rng):
+    """Voxels created by moments_only inserts hold no bucket points; the
+    box crop and the rebuild must still see their true coordinates (from
+    the packed key, unwrapped around the box/cube center) instead of
+    killing or dropping them (crop_outside_box / rebuild docstrings)."""
+    import jax
+
+    from better_fastlio2_tpu.ops.downsample import voxel_downsample
+
+    kw = dict(capacity_log2=14, bucket=4, voxel_size=0.5,
+              dtype=jnp.float32, dense_log2=(7, 7, 6), moments=True)
+    # warmup points near origin (full insert), then a moments-only batch
+    # offset to +x so crop can discriminate
+    seed = rng.uniform(-5, 5, size=(800, 3)).astype(np.float32)
+    sd, sdv = voxel_downsample(jnp.asarray(seed), jnp.ones(800, bool), 0.5,
+                               out_size=1024)
+    m = vh.insert(vh.make_map(**kw), sd, sdv, pre_grouped=True)
+    n_seed = int(vh.num_voxels(m))
+
+    mo_pts = rng.uniform(6, 12, size=(800, 3)).astype(np.float32)
+    md, mdv = voxel_downsample(jnp.asarray(mo_pts), jnp.ones(800, bool), 0.5,
+                               out_size=1024)
+    n_mo = int(jnp.sum(mdv))
+    m = vh.insert(m, md, mdv, pre_grouped=True, moments_only=True)
+    assert int(vh.num_voxels(m)) == n_seed + n_mo
+
+    # crop to a box that CONTAINS everything: nothing may be killed
+    # (the old points-derived coords put moments-only voxels at the
+    # sentinel, far outside, and killed them all)
+    lo = jnp.asarray([-20.0, -20.0, -20.0]); hi = jnp.asarray([20.0] * 3)
+    mc = vh.crop_outside_box(jax.tree_util.tree_map(jnp.copy, m), lo, hi)
+    assert int(vh.num_voxels(mc)) == n_seed + n_mo
+
+    # crop away the seed region only: exactly the moments-only voxels stay
+    mc2 = vh.crop_outside_box(
+        jax.tree_util.tree_map(jnp.copy, m),
+        jnp.asarray([5.75, 5.75, 5.75]), jnp.asarray([20.0] * 3))
+    assert int(vh.num_voxels(mc2)) == n_mo
+
+    # rebuild with a center: moments-only voxels survive with moments
+    mr = vh.rebuild(jax.tree_util.tree_map(jnp.copy, m),
+                    center=jnp.zeros(3))
+    assert int(vh.num_voxels(mr)) == n_seed + n_mo
+    assert float(jnp.sum(mr.mom[:, 0])) == float(jnp.sum(m.mom[:, 0]))
