@@ -533,6 +533,27 @@ class LIOPipeline:
         imu_t seconds from scan begin (sample 0 should be the tail of the
         previous packet).  Returns an info dict or None while initialising.
         """
+        # sensor-stream sanity (laserMapping.cpp:1209-1213, 1241-1244,
+        # 1316-1320): a timestamp regression means the source looped back
+        # (bag restart) — drop the group, like the reference clears its
+        # buffers; gross lidar/IMU desync is warned once per occurrence.
+        if (self.last_scan_end_abs is not None
+                and scan_beg_abs + scan_end_t < self.last_scan_end_abs - 1e-6):
+            import sys as _sys
+            print("lidar loop back, skipping scan group", file=_sys.stderr)
+            self.last_scan_end_abs = scan_beg_abs + scan_end_t
+            return None
+        imu_t = np.asarray(imu_t)
+        if imu_t.size > 1 and np.any(np.diff(imu_t) < -1e-6):
+            import sys as _sys
+            print("imu loop back, skipping scan group", file=_sys.stderr)
+            return None
+        if imu_t.size and abs(float(imu_t[-1]) - scan_end_t) > 10.0:
+            import sys as _sys
+            print(
+                f"IMU and LiDAR not synced ({float(imu_t[-1]):.1f}s vs "
+                f"{scan_end_t:.1f}s scan end)", file=_sys.stderr)
+
         if not self.inited:
             init_done = self._try_init(imu_acc, imu_gyr)
             self.last_scan_end_abs = scan_beg_abs + scan_end_t

@@ -60,6 +60,8 @@ def _groups_from_dataset(spec: str, args):
 
 
 def cmd_mapping(args):
+    import signal
+
     from .config import LIOConfig, load_yaml
     from .pipeline.slam import SLAMPipeline
     from .utils.timing import ScanTimer
@@ -71,6 +73,35 @@ def cmd_mapping(args):
     pipe = SLAMPipeline(cfg)
     timer = ScanTimer()
     n = 0
+
+    def _save(dest):
+        os.makedirs(dest, exist_ok=True)
+        # consistency check before writing (laserMapping.cpp:2465-2475:
+        # #keyframes must equal #poses or the saver aborts)
+        assert len(pipe.keyframes) == int(pipe.graph.n_poses), (
+            "keyframe/pose count mismatch — refusing to write session")
+        pipe.save_session(dest)
+        timer.write_csv(os.path.join(dest, "fast_lio_time_log.csv"))
+        print(f"session written to {dest}", file=sys.stderr)
+
+    # graceful SIGINT save (the reference's SigHandle + final saver,
+    # laserMapping.cpp:1041-1047, 2465); SIGUSR1 = the /save_map service
+    # analog (mid-run snapshot without stopping)
+    interrupted = {"flag": False}
+    signal.signal(signal.SIGINT,
+                  lambda *_: interrupted.__setitem__("flag", True))
+    if hasattr(signal, "SIGUSR1") and args.output:
+        signal.signal(
+            signal.SIGUSR1, lambda *_: _save(args.output))
+
+    if args.state_log and args.output:
+        os.makedirs(args.output, exist_ok=True)
+        state_log = open(os.path.join(args.output, "pos_log.txt"), "w")
+    else:
+        state_log = None
+    if state_log is None and args.state_log:
+        print("--state-log needs --output; ignoring", file=sys.stderr)
+
     for g in _groups_from_dataset(args.dataset, args):
         timer.begin_scan(g["scan_beg_abs"])
         with timer.stage("total_scan"):
@@ -81,6 +112,11 @@ def cmd_mapping(args):
         timer.count("scan_points", len(g["pts"]))
         timer.end_scan()
         n += 1
+        if out is not None and state_log is not None:
+            # dump_lio_state_to_log analog (laserMapping.cpp:1049-1063):
+            # time, position, rotation (quat), per-scan
+            row = [g["scan_beg_abs"], *out["pos"], *out["quat"]]
+            state_log.write(" ".join(f"{v:.6f}" for v in row) + "\n")
         if out is not None and n % 50 == 0:
             print(
                 f"scan {n}: pos={np.round(out['pos'], 2)} "
@@ -89,11 +125,13 @@ def cmd_mapping(args):
             )
         if args.max_scans and n >= args.max_scans:
             break
+        if interrupted["flag"]:
+            print("SIGINT: stopping and saving", file=sys.stderr)
+            break
+    if state_log is not None:
+        state_log.close()
     if args.output:
-        os.makedirs(args.output, exist_ok=True)
-        pipe.save_session(args.output)
-        timer.write_csv(os.path.join(args.output, "fast_lio_time_log.csv"))
-        print(f"session written to {args.output}", file=sys.stderr)
+        _save(args.output)
     print(
         json.dumps(
             {
@@ -181,6 +219,9 @@ def main(argv=None):
     mp.add_argument("--config", default=None)
     mp.add_argument("--output", default=None)
     mp.add_argument("--loop", action="store_true")
+    mp.add_argument("--state-log", action="store_true",
+                    help="write per-scan state rows to pos_log.txt "
+                         "(dump_lio_state_to_log analog)")
     mp.add_argument("--dynamic", action="store_true",
                     help="live dynamic-object removal (SCV-OD)")
     mp.add_argument("--sensor-height", type=float, default=0.4)
