@@ -49,10 +49,10 @@ def main():
         map_bucket=4,
         map_max_probe=6,
         knn_chunk=1 << 14,
-        # dense torus index (one row-gather lookups) + lower-bound-pruned
-        # candidate gather — both measured ATE-neutral on this workload
+        # dense torus index (one row-gather lookups, 128x128x64 m span — the
+        # smaller table halves lookup cache misses vs (9,9,7)) + lower-bound-pruned candidate gather — measured ATE-neutral
         # (tools/profile_*; exact-parity tests in tests/test_voxel_map.py)
-        map_dense_log2=(9, 9, 7),
+        map_dense_log2=(8, 8, 7),
         knn_max_live=12,
         # steady-state insert caps: the claim loop and dense-index refresh
         # are per-lane bound (~130 ns/lane scatter), so compacting them to
