@@ -42,7 +42,7 @@ def main():
     cfg.shapes = cfgmod.ShapesConfig(
         n_raw=1 << 15, n_ds=1 << 14, n_imu=16,
         map_capacity_log2=20, map_bucket=4, map_max_probe=6,
-        knn_chunk=1 << 14, map_dense_log2=(9, 9, 7), knn_max_live=12,
+        knn_chunk=1 << 14, map_dense_log2=(8, 8, 7), knn_max_live=12,
     )
     cfg.mapping = cfgmod.MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.5,
