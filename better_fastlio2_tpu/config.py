@@ -113,6 +113,9 @@ class ShapesConfig:
     # program when the plane-cache warmup split exists.
     insert_claim_budget: int = 0
     insert_dense_budget: int = 0
+    # compacted moment scatter (voxel_hash.insert mom_budget): steady
+    # program only; 0 = full-scatter + EMA clamp
+    insert_mom_budget: int = 0
 
 
 @dataclass

@@ -280,7 +280,8 @@ def _lookup_slots(
 
 @partial(jax.jit, static_argnames=("max_probe", "pre_grouped",
                                    "claim_budget", "dense_budget",
-                                   "moments_only", "claim_only", "mom_cap"),
+                                   "moments_only", "claim_only", "mom_cap",
+                                   "mom_budget"),
          donate_argnums=(0,))
 def insert(
     m: VoxelHashMap,
@@ -293,6 +294,7 @@ def insert(
     moments_only: bool = False,
     claim_only: bool = False,
     mom_cap: int = 0,
+    mom_budget: int = 0,
 ) -> VoxelHashMap:
     """Insert a batch of world-frame points (padded; `valid` masks rows).
 
@@ -352,7 +354,18 @@ def insert(
     cannot grow without bound) while still admitting new points.
     Implemented as one elementwise pass over the moment table (~40 MB,
     bandwidth-bound) — cheaper than gathering per-row counts to gate the
-    scatter."""
+    scatter.
+
+    mom_budget > 0 (with mom_cap > 0 and pre_grouped) switches the cap to
+    FREEZE semantics and compacts the moment scatter: saturated voxels
+    (n >= mom_cap) stop accumulating entirely, and only up to
+    `mom_budget` unsaturated rows scatter per batch (ascending-index
+    selection, deterministic; overflow rows retry on later scans).  At
+    steady state most revisited voxels are saturated, so this replaces a
+    full n-lane scatter with an n-lane gather + a budget-lane scatter —
+    scatter lanes cost ~3x gather lanes on this TPU.  pre_grouped
+    guarantees <= 1 point/voxel/batch, so n never exceeds mom_cap and no
+    clamp pass is needed."""
     C, B = m.capacity, m.bucket
     hmask = C - 1
     n = pts_world.shape[0]
@@ -486,30 +499,47 @@ def insert(
     mom = m.mom
     if mom is not None and not claim_only:
         mok = (slot_all >= 0) & valid_s
-        q = pts_s - ijk_s.astype(pts_s.dtype) * m.voxel_size
-        one = mok.astype(pts_s.dtype)
-        rows = jnp.concatenate(
-            [
-                one[:, None],
-                q * one[:, None],
-                jnp.stack(
-                    [
-                        q[:, 0] * q[:, 0], q[:, 0] * q[:, 1],
-                        q[:, 0] * q[:, 2], q[:, 1] * q[:, 1],
-                        q[:, 1] * q[:, 2], q[:, 2] * q[:, 2],
-                    ],
-                    axis=-1,
-                )
-                * one[:, None],
-            ],
-            axis=-1,
-        )
-        mom = mom.at[jnp.where(mok, slot_all, C)].add(rows, mode="drop")
-        if mom_cap > 0:
-            scale = jnp.minimum(
-                1.0, mom_cap / jnp.maximum(mom[:, 0], 1.0)
-            ).astype(mom.dtype)
-            mom = mom * scale[:, None]
+
+        def mom_rows(q, gate):
+            one = gate.astype(pts_s.dtype)
+            return jnp.concatenate(
+                [
+                    one[:, None],
+                    q * one[:, None],
+                    jnp.stack(
+                        [
+                            q[:, 0] * q[:, 0], q[:, 0] * q[:, 1],
+                            q[:, 0] * q[:, 2], q[:, 1] * q[:, 1],
+                            q[:, 1] * q[:, 2], q[:, 2] * q[:, 2],
+                        ],
+                        axis=-1,
+                    )
+                    * one[:, None],
+                ],
+                axis=-1,
+            )
+
+        if mom_cap > 0 and mom_budget > 0 and pre_grouped:
+            # freeze-at-cap + compacted scatter (see docstring)
+            n_seen = mom[jnp.maximum(slot_all, 0), 0]
+            need = mok & (n_seen < mom_cap)
+            selm = jnp.nonzero(need, size=mom_budget,
+                               fill_value=n)[0].astype(jnp.int32)
+            actm = selm < n
+            sm = jnp.minimum(selm, n - 1)
+            q_c = pts_s[sm] - ijk_s[sm].astype(pts_s.dtype) * m.voxel_size
+            rows_c = mom_rows(q_c, actm)
+            dstm = jnp.where(actm, slot_all[sm], C)
+            mom = mom.at[dstm].add(rows_c, mode="drop")
+        else:
+            q = pts_s - ijk_s.astype(pts_s.dtype) * m.voxel_size
+            rows = mom_rows(q, mok)
+            mom = mom.at[jnp.where(mok, slot_all, C)].add(rows, mode="drop")
+            if mom_cap > 0:
+                scale = jnp.minimum(
+                    1.0, mom_cap / jnp.maximum(mom[:, 0], 1.0)
+                ).astype(mom.dtype)
+                mom = mom * scale[:, None]
 
     # refresh the dense index for every head that resolved a slot through
     # the claim loop (newly claimed, or re-found by probing — the latter

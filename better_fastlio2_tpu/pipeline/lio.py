@@ -211,6 +211,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             moments_only=steady and ls.map.mom is not None,
             mom_cap=(getattr(cfg.ikdtree, "mom_cap", 0)
                      if ls.map.mom is not None else 0),
+            mom_budget=(getattr(sh, "insert_mom_budget", 0)
+                        if steady and ls.map.mom is not None else 0),
         )
 
         ls = LIOState(

@@ -3,13 +3,13 @@ import sys; sys.path.insert(0, "/root/repo")
 import json, time
 import numpy as np
 
-def run(dense_log2, unroll):
+def run(dense_log2, unroll, CAPL2):
     from better_fastlio2_tpu.config import (IkdtreeConfig, LIOConfig, MappingConfig, ShapesConfig)
     from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
     from better_fastlio2_tpu.pipeline.lio import LIOPipeline
     cfg = LIOConfig()
     cfg.shapes = ShapesConfig(
-        n_raw=1 << 15, n_ds=1 << 14, n_imu=16, map_capacity_log2=20,
+        n_raw=1 << 15, n_ds=1 << 14, n_imu=16, map_capacity_log2=CAPL2,
         map_bucket=4, map_max_probe=6, knn_chunk=1 << 14,
         map_dense_log2=dense_log2, knn_max_live=12,
         insert_claim_budget=2048, insert_dense_budget=2048)
@@ -35,5 +35,6 @@ def run(dense_log2, unroll):
 
 dense = tuple(int(x) for x in sys.argv[1].split(","))
 unroll = int(sys.argv[2])
-print(json.dumps({"dense": dense, "unroll": unroll,
-                  "scans_per_sec": round(run(dense, unroll), 2)}))
+caplog2 = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+print(json.dumps({"dense": dense, "unroll": unroll, "cap": caplog2,
+                  "scans_per_sec": round(run(dense, unroll, caplog2), 2)}))
