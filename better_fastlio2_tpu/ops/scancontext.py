@@ -184,7 +184,9 @@ def detect_loop(
     d2 = jnp.sum((db.rkeys - q[None, :]) ** 2, axis=-1)
     searchable = jnp.arange(K) < (db.count - params.num_exclude_recent)
     d2 = jnp.where(searchable, d2, jnp.inf)
-    _, cand = jax.lax.top_k(-d2, params.num_candidates)
+    # tiny databases (K < num_candidates): clamp k — cand_ok already
+    # masks the inf rows, so fewer candidates is exact, not approximate
+    _, cand = jax.lax.top_k(-d2, min(params.num_candidates, K))
     cand_ok = jnp.take(searchable, cand)
     dists, shifts = sc_distance_batch(desc, db.descs[cand])
     dists = jnp.where(cand_ok, dists, jnp.inf)

@@ -491,6 +491,45 @@ class LIOPipeline:
             ekf_inited=jnp.array(False),
         )
 
+    def reset_map_from_world_points(self, world_pts: np.ndarray) -> None:
+        """Rebuild the local map from corrected world-frame points — the
+        recontructIKdTree-after-correctPoses analog (laserMapping.cpp:
+        797-800): after a loop-closure pose jump the old map is in the
+        drifted odometry frame and matching against it would fight the
+        correction.  Also re-centers the FoV cube on the corrected pose
+        (a large jump could otherwise land outside the old cube and the
+        next crop would kill the fresh map)."""
+        sh = self.cfg.shapes
+        m = voxel_hash.make_map(
+            capacity_log2=sh.map_capacity_log2,
+            bucket=sh.map_bucket,
+            voxel_size=self.cfg.ikdtree.filter_size_map_min,
+            dtype=self.dtype,
+            dense_log2=getattr(sh, "map_dense_log2", None),
+            moments=self.ls.map.mom is not None,
+        )
+        chunk = sh.n_ds
+        world_pts = np.asarray(world_pts, np.float32)
+        for i in range(0, len(world_pts), chunk):
+            blk = world_pts[i:i + chunk]
+            buf = np.zeros((chunk, 3), np.float32)
+            buf[: len(blk)] = blk
+            valid = np.zeros(chunk, bool)
+            valid[: len(blk)] = True
+            m = voxel_hash.insert(m, jnp.asarray(buf, self.dtype),
+                                  jnp.asarray(valid),
+                                  max_probe=sh.map_max_probe)
+        ls = self.ls
+        pos_lid = np.asarray(
+            ls.x.pos + so3.quat_rotate(ls.x.rot, ls.x.off_t), np.float64)
+        half = self.cfg.mapping.cube_len / 2.0
+        self.ls = ls._replace(
+            map=m,
+            cube_lo=jnp.asarray(pos_lid - half, self.dtype),
+            cube_hi=jnp.asarray(pos_lid + half, self.dtype),
+            cube_init=jnp.array(True),
+        )
+
     def _try_init(self, imu_acc: np.ndarray, imu_gyr: np.ndarray) -> bool:
         self._init_acc.append(imu_acc)
         self._init_gyr.append(imu_gyr)

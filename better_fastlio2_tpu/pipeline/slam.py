@@ -361,6 +361,29 @@ class SLAMPipeline:
         )
         self.lio.ls = ls._replace(x=x)
 
+        # recontructIKdTree after correctPoses (laserMapping.cpp:797-800):
+        # a material pose jump leaves the voxel map in the drifted frame —
+        # rebuild it from the corrected keyframe submap around the new
+        # pose.  Small corrections skip the rebuild (the map error is
+        # below the association's voxel tolerance).
+        d_np = np.asarray(delta)
+        jump = float(np.linalg.norm(d_np[4:7]))
+        ang = 2.0 * float(np.arccos(np.clip(abs(d_np[0]), -1.0, 1.0)))
+        leaf = self.cfg.ikdtree.filter_size_map_min
+        if jump > 0.5 * leaf or ang > 0.02:
+            pos = corrected[4:7]
+            radius = 2.0 * self.cfg.mapping.det_range
+            clouds = []
+            for kf in self.keyframes:
+                if np.linalg.norm(kf.pose[4:7] - pos) > radius:
+                    continue
+                R = np.asarray(so3.quat_to_matrix(
+                    jnp.asarray(kf.pose[0:4])), np.float64)
+                clouds.append(kf.cloud @ R.T + kf.pose[4:7])
+            if clouds:
+                self.lio.reset_map_from_world_points(
+                    np.concatenate(clouds).astype(np.float32))
+
     # -- persistence --------------------------------------------------------
     def save_session(self, root: str):
         from ..io.session import SessionWriter

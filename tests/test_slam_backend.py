@@ -154,3 +154,66 @@ def test_dynamic_removal_flag_runs(rng):
     assert last is not None
     drift = np.linalg.norm(last["pos"] - (g["gt_pos"] - [0, 0, 1.5]))
     assert drift < 0.2, drift
+
+
+def test_map_rebuild_on_loop_correction():
+    """After a pose-graph correction with a material jump, the LIO map is
+    rebuilt from corrected keyframe clouds (recontructIKdTree-after-
+    correctPoses analog, slam._apply_correction) and the filter keeps
+    tracking in the corrected frame."""
+    import jax.numpy as jnp
+
+    from better_fastlio2_tpu.config import (
+        IkdtreeConfig, LIOConfig, MappingConfig, ShapesConfig)
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.map import voxel_hash
+    from better_fastlio2_tpu.pipeline.slam import SLAMPipeline
+
+    cfg = LIOConfig()
+    cfg.shapes = ShapesConfig(n_raw=4096, n_ds=2048, n_imu=32,
+                              map_capacity_log2=15, map_bucket=4,
+                              map_max_probe=8, knn_chunk=2048)
+    cfg.mapping = MappingConfig(det_range=60., cube_len=400.,
+                                surf_leaf_size=0.4, extrinsic_est_en=False,
+                                keyframe_adding_dist_threshold=0.5)
+    cfg.ikdtree = IkdtreeConfig(max_iteration=3, filter_size_map_min=0.4)
+    cfg.loop.enable = False
+    pipe = SLAMPipeline(cfg)
+    groups = make_lio_sequence(duration=3.0, n_points=2500, seed=4,
+                               traj=Trajectory(t_still=1.0, speed=2.0))
+    for g in groups:
+        out = pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
+                                g["imu_gyr"], g["imu_t"], g["scan_beg_abs"],
+                                g["scan_end_t"])
+    assert len(pipe.keyframes) >= 2
+    vox_before = int(voxel_hash.num_voxels(pipe.lio.ls.map))
+
+    # force a correction: shift every optimized pose by +1 m in x
+    poses = np.stack([kf.pose for kf in pipe.keyframes]).astype(np.float64)
+    poses[:, 4] += 1.0
+    pipe._apply_correction(poses, n=len(pipe.keyframes))
+
+    # keyframes and the live filter moved by the delta
+    assert abs(pipe.keyframes[0].pose[4] - poses[0, 4]) < 1e-9
+    # the map was rebuilt: shifted keyframe clouds must be found at ~0
+    m = pipe.lio.ls.map
+    assert int(voxel_hash.num_voxels(m)) > 0.3 * vox_before
+    kf = pipe.keyframes[-1]
+    from better_fastlio2_tpu.utils import so3 as so3m
+    R = np.asarray(so3m.quat_to_matrix(jnp.asarray(kf.pose[0:4])))
+    world = (kf.cloud[:64] @ R.T + kf.pose[4:7]).astype(np.float32)
+    _, d2, ok = voxel_hash.knn(m, jnp.asarray(world), k=1, max_probe=8)
+    hit = np.asarray(ok)[:, 0] & (np.asarray(d2)[:, 0] < 1e-6)
+    assert hit.mean() > 0.9, hit.mean()
+
+    # filter keeps tracking after the jump (continues on shifted gt)
+    errs = []
+    more = make_lio_sequence(duration=4.0, n_points=2500, seed=4,
+                             traj=Trajectory(t_still=1.0, speed=2.0))
+    for g in more[30:]:
+        out = pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
+                                g["imu_gyr"], g["imu_t"], g["scan_beg_abs"],
+                                g["scan_end_t"])
+        if out is not None:
+            errs.append(out["pos"])
+    assert np.all(np.isfinite(np.asarray(errs)))
