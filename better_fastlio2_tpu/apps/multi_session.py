@@ -204,11 +204,50 @@ class MultiSessionMerger:
         diag = diag + jnp.eye(6, dtype=self.dtype) * 1e-3
         return np.asarray(jnp.linalg.inv(diag))
 
-    def select_rs_targets(self, rs_cands):
+    def _pair_info_gain(self, Sig, c_idx: int, q_node: int) -> float:
+        """calcInformationGainBtnTwoNodes (:699-727), EXACT form: the
+        hypothetical loop factor's Jacobians H1, H2 (evaluated at the
+        current estimated relative pose, where the residual is zero)
+        compose with the 6x6 marginals:
+
+            S = Sy + H1 Sigma_c H1^T + H2 Sigma_q H2^T
+            gain = 0.5 log det(S) / det(Sy)
+
+        In this repo's world-pose gauge the anchored 4-key factor's pose
+        Jacobians reduce to the plain between-factor blocks
+        (pg._between_residual_jac), matching the reference's evaluateError
+        H_s1/H_s2."""
+        g = self.graph
+        meas = se3.between(
+            jnp.asarray(g.poses[c_idx]), jnp.asarray(g.poses[q_node])
+        )
+        _, Ji, Jj = pg._between_residual_jac(
+            g.poses,
+            jnp.asarray([c_idx], jnp.int32),
+            jnp.asarray([q_node], jnp.int32),
+            meas[None],
+        )
+        H1 = np.asarray(Ji[0], np.float64)
+        H2 = np.asarray(Jj[0], np.float64)
+        Sy = np.eye(6)
+        S = Sy + H1 @ Sig[c_idx] @ H1.T + H2 @ Sig[q_node] @ H2.T
+        det = np.linalg.det(S)
+        return 0.5 * np.log(max(det, 1e-300))
+
+    def select_rs_targets(self, rs_cands, exact: bool = True):
         """findNearestRSLoopsTargetNodeIdx (:729-784): nearest central
-        nodes within 10 m, pick the one with max information gain."""
+        nodes within 10 m, pick the one with max information gain.
+
+        exact=True composes the loop factor's Jacobians with the full-GN
+        marginal covariances (pg.dense_marginals) like the reference;
+        exact=False keeps the round-1 Jacobi/H~I approximation."""
         poses = np.asarray(self.graph.poses, np.float64)
-        Sig = self._jacobi_marginals()
+        n_act = self.nc + self.nq
+        if exact:
+            Sig = np.asarray(
+                pg.dense_marginals(self.graph, n_act), np.float64)
+        else:
+            Sig = self._jacobi_marginals()
         Sy = np.eye(6)
         out = []
         for q in rs_cands:
@@ -219,10 +258,13 @@ class MultiSessionMerger:
                 continue
             best, best_gain = None, 0.0
             for c in near:
-                S = Sy + Sig[c] + Sig[self.nc + q]  # H ~ I at the optimum
-                gain = 0.5 * np.log(
-                    max(np.linalg.det(S), 1e-300) / np.linalg.det(Sy)
-                )
+                if exact:
+                    gain = self._pair_info_gain(Sig, int(c), self.nc + q)
+                else:
+                    S = Sy + Sig[c] + Sig[self.nc + q]
+                    gain = 0.5 * np.log(
+                        max(np.linalg.det(S), 1e-300) / np.linalg.det(Sy)
+                    )
                 if gain > best_gain:
                     best, best_gain = int(c), gain
             if best is not None:

@@ -333,3 +333,53 @@ def optimize(
 
     poses, _ = jax.lax.scan(gn_iter, g.poses, None, length=iters)
     return g._replace(poses=poses)
+
+
+def dense_marginals(g: PoseGraph, n_active: int, damping: float = 1e-3):
+    """Per-pose 6x6 marginal covariance blocks from the FULL Gauss-Newton
+    Hessian (the isam->marginalCovariance analog the reference's
+    information-gain selection consumes, Incremental_mapping.cpp:718-719).
+
+    Assembles the dense (6K, 6K) information matrix from all active
+    prior/between/GPS factors at the current linearization point, inverts
+    it once (offline-path cost), and returns the (K, 6, 6) diagonal
+    blocks.  `damping` regularizes gauge freedom left by weak priors."""
+    K = int(n_active)
+    dtype = g.poses.dtype
+    H = jnp.zeros((K, 6, K, 6), dtype)
+
+    e_b, Ji, Jj = _between_residual_jac(poses := g.poses, g.bw_i, g.bw_j,
+                                        g.bw_meas)
+    w_b = (g.bw_sqw**2) * g.bw_mask[:, None]
+    ok = g.bw_mask & (g.bw_i < K) & (g.bw_j < K)
+    wb = jnp.where(ok[:, None], w_b, 0.0)
+    bi = jnp.minimum(g.bw_i, K - 1)
+    bj = jnp.minimum(g.bw_j, K - 1)
+    Hii = jnp.einsum("fai,fa,faj->fij", Ji, wb, Ji)
+    Hjj = jnp.einsum("fai,fa,faj->fij", Jj, wb, Jj)
+    Hij = jnp.einsum("fai,fa,faj->fij", Ji, wb, Jj)
+    H = H.at[bi, :, bi, :].add(Hii)
+    H = H.at[bj, :, bj, :].add(Hjj)
+    H = H.at[bi, :, bj, :].add(Hij)
+    H = H.at[bj, :, bi, :].add(jnp.swapaxes(Hij, -1, -2))
+
+    e_p, Jp = _prior_residual_jac(poses, g.prior_idx, g.prior_pose)
+    okp = g.prior_mask & (g.prior_idx < K)
+    wp = jnp.where(okp[:, None], g.prior_sqw**2, 0.0)
+    pi = jnp.minimum(g.prior_idx, K - 1)
+    H = H.at[pi, :, pi, :].add(jnp.einsum("fai,fa,faj->fij", Jp, wp, Jp))
+
+    okg = g.gps_mask & (g.gps_idx < K)
+    wg = jnp.where(okg[:, None], g.gps_sqw**2, 0.0)
+    gi = jnp.minimum(g.gps_idx, K - 1)
+    Hg = jnp.zeros((g.gps_idx.shape[0], 6, 6), dtype)
+    Hg = Hg.at[:, 0, 0].set(wg[:, 0]).at[:, 1, 1].set(wg[:, 1])
+    Hg = Hg.at[:, 2, 2].set(wg[:, 2])
+    H = H.at[gi, :, gi, :].add(Hg)
+
+    Hd = H.reshape(6 * K, 6 * K) + damping * jnp.eye(6 * K, dtype=dtype)
+    Sigma = jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(Hd), True), jnp.eye(6 * K, dtype=dtype)
+    ).reshape(K, 6, K, 6)
+    idx = jnp.arange(K)
+    return Sigma[idx, :, idx, :]  # (K, 6, 6)

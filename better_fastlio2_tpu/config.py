@@ -89,6 +89,23 @@ class LoopConfig:
 
 
 @dataclass
+class GPSConfig:
+    """GPS unary factors on keyframes — the feature the reference
+    declares but leaves commented out (src/laserMapping.cpp:689,
+    GeographicLib linked-but-unused).  Semantics follow the LIO-SAM
+    addGPSFactor design the stub points at: add a 3-dof position factor
+    on a keyframe when a GPS sample is close enough in time, spaced at
+    least `min_dist` apart, optionally ignoring GPS elevation."""
+
+    enable: bool = False
+    sigma: float = 2.0  # position noise std (m) when the sample has no cov
+    max_age: float = 0.2  # s: keyframe<->sample pairing window
+    min_dist: float = 5.0  # m between consecutive GPS factors (LIO-SAM)
+    use_elevation: bool = False  # False: keep the keyframe's own z
+    cov_threshold: float = 4.0  # skip samples with cov above (m^2)
+
+
+@dataclass
 class ShapesConfig:
     """Static padding sizes (TPU-only concern)."""
 
@@ -124,6 +141,7 @@ class LIOConfig:
     mapping: MappingConfig = field(default_factory=MappingConfig)
     ikdtree: IkdtreeConfig = field(default_factory=IkdtreeConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
+    gps: GPSConfig = field(default_factory=GPSConfig)
     shapes: ShapesConfig = field(default_factory=ShapesConfig)
     dtype: str = "float32"
     # live dynamic-object removal (the reference shipped this commented
@@ -207,6 +225,30 @@ class LIOConfig:
             cfg.loop.search_num = d["historyKeyframeSearchNum"]
         if "historyKeyframeFitnessScore" in d:
             cfg.loop.fitness_score = d["historyKeyframeFitnessScore"]
+        gps = d.get("gps", {})
+        for k in ("enable", "sigma", "max_age", "min_dist",
+                  "use_elevation", "cov_threshold"):
+            if k in gps:
+                setattr(cfg.gps, k, gps[k])
+        # shapes: static padding sizes are YAML-settable so a dataset
+        # config fully specifies a run (the reference has no analog —
+        # dynamic shapes are free on CPU; on TPU they are compile-time)
+        shp = d.get("shapes", {})
+        for k in ("n_raw", "n_ds", "n_imu", "map_capacity_log2",
+                  "map_bucket", "map_max_probe", "knn_chunk",
+                  "knn_neighbors", "knn_max_live", "insert_claim_budget",
+                  "insert_dense_budget", "insert_mom_budget"):
+            if k in shp:
+                setattr(cfg.shapes, k, int(shp[k]))
+        if "map_dense_log2" in shp:
+            v = shp["map_dense_log2"]
+            cfg.shapes.map_dense_log2 = tuple(v) if v is not None else None
+        if "dtype" in d:
+            cfg.dtype = d["dtype"]
+        if "dynamic_removal" in d:
+            cfg.dynamic_removal = d["dynamic_removal"]
+        if "sensor_height" in d:
+            cfg.sensor_height = d["sensor_height"]
         return cfg
 
 

@@ -215,6 +215,46 @@ def _dx_transport(dx: jax.Array, x: State, x_prop: State) -> tuple[jax.Array, ja
     return T, T @ dx
 
 
+def _inv3(M: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate/det) — latency-free vs a
+    factorization on TPU."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    return jnp.stack([
+        jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])
+    ]) / det
+
+
+def _inv2(M: jax.Array) -> jax.Array:
+    det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    return jnp.stack([
+        jnp.stack([M[1, 1], -M[0, 1]]), jnp.stack([-M[1, 0], M[0, 0]])
+    ]) / det
+
+
+def _transport_inv(T: jax.Array) -> jax.Array:
+    """Inverse of the block-diagonal transport map from _dx_transport:
+    identity except the two 3x3 SO3 blocks and the 2x2 S2 block —
+    inverted in closed form (tiny serial factorizations are
+    latency-bound on TPU)."""
+    Ti = jnp.eye(ERR_DIM, dtype=T.dtype)
+    Ti = Ti.at[3:6, 3:6].set(_inv3(T[3:6, 3:6]))
+    Ti = Ti.at[6:9, 6:9].set(_inv3(T[6:9, 6:9]))
+    Ti = Ti.at[21:23, 21:23].set(_inv2(T[21:23, 21:23]))
+    return Ti
+
+
 def update_iterated(
     x_prop: State,
     P_prop: jax.Array,
@@ -224,6 +264,7 @@ def update_iterated(
     R: float = 0.001,
     limit: float = 0.001,
     psum_axis: str | None = None,
+    n_cols: int = 12,
 ):
     """Iterated dyn-share measurement update (esekfom.hpp:1620-1938).
 
@@ -248,6 +289,16 @@ def update_iterated(
     """
     dtype = P_prop.dtype
     eyeN = jnp.eye(ERR_DIM, dtype=dtype)
+    eyeP = jnp.eye(ERR_DIM, dtype=dtype)
+    # (P_prop/R)^-1 once per scan: per-iteration P = T P_prop T^T with
+    # block-diagonal T, so (P/R)^-1 = R T^-T P_prop^-1 T^-1 — the
+    # per-iteration 23x23 Cholesky of the prior collapses to two small
+    # block inverses + two matmuls (tiny factorizations are serial
+    # latency chains on TPU, ~0.1-0.2 ms each)
+    P_sym = 0.5 * (P_prop + P_prop.T)
+    Pp_inv = jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(P_sym + 1e-9 * R * eyeP), True), eyeP
+    )
 
     def cond(c):
         return jnp.logical_not(c["done"])
@@ -259,31 +310,38 @@ def update_iterated(
         h_x = m.h_x * w[:, None]
         h = m.h * w
         n_valid = jnp.sum(w)
+        # measurement models may emit only the leading K Jacobian columns
+        # (K=6 when extrinsic estimation is off — cols 6:12 are zero,
+        # laserMapping.cpp:1983-1994): the normal equations shrink to KxK
+        K = h_x.shape[1]
+        assert K == n_cols, (K, n_cols)
 
         dx = boxminus(x, x_prop)
         T, dx_new = _dx_transport(dx, x, x_prop)
         P = T @ P_prop @ T.T
 
-        HTH = h_x.T @ h_x  # (12, 12)
-        HTh = h_x.T @ h  # (12,)
+        HTH = h_x.T @ h_x  # (K, K)
+        HTh = h_x.T @ h  # (K,)
         if psum_axis is not None:
             HTH = jax.lax.psum(HTH, psum_axis)
             HTh = jax.lax.psum(HTh, psum_axis)
             n_valid = jax.lax.psum(n_valid, psum_axis)
         valid = n_valid >= 1.0  # laserMapping.cpp:1956-1961 guard
-        # (H^T H + (P/R)^-1)^-1 via two SPD solves: LU-based jnp.linalg.inv
-        # is ~200x slower than cholesky+solve on TPU for these tiny sizes.
-        # Symmetrise P first — f32 transport products drift asymmetric.
+        # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior
+        # inverse via the closed-form transport inverse (see above); the
+        # single remaining 23x23 Cholesky solves only the K columns the
+        # gain needs.  Symmetrise — f32 transport products drift.
         P = 0.5 * (P + P.T)
-        eyeP = jnp.eye(ERR_DIM, dtype=dtype)
-        S_inv = jax.scipy.linalg.cho_solve(
-            (jnp.linalg.cholesky(P / R + 1e-9 * eyeP), True), eyeP
-        )
-        A = S_inv.at[:12, :12].add(HTH)
-        P_inv = jnp.linalg.solve(A, eyeP)
-        P_inv12 = P_inv[:, :12]  # (23, 12)
+        Ti = _transport_inv(T)
+        S_inv = R * (Ti.T @ Pp_inv @ Ti)
+        S_inv = 0.5 * (S_inv + S_inv.T)
+        A = S_inv.at[:K, :K].add(HTH)
+        # A is SPD (S_inv SPD + HTH PSD) — Cholesky beats LU here
+        P_inv12 = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(A), True), eyeP[:, :K]
+        )  # (23, K) = A^-1[:, :K]
         K_h = P_inv12 @ HTh
-        K_x = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :12].set(
+        K_x = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :K].set(
             P_inv12 @ HTH
         )
         dx_ = K_h + (K_x - eyeN) @ dx_new
@@ -319,8 +377,8 @@ def update_iterated(
         "done": jnp.array(False),
         "P": P_prop,
         "K_x": jnp.zeros((ERR_DIM, ERR_DIM), dtype),
-        "P_inv12": jnp.zeros((ERR_DIM, 12), dtype),
-        "HTH": jnp.zeros((12, 12), dtype),
+        "P_inv12": jnp.zeros((ERR_DIM, n_cols), dtype),
+        "HTH": jnp.zeros((n_cols, n_cols), dtype),
         "dx_": jnp.zeros(ERR_DIM, dtype),
     }
     c = jax.lax.while_loop(cond, body, c0)

@@ -379,22 +379,19 @@ def make_measure_fn(
         #   C = R_wi^T n (world normal into imu frame)
         #   A = (R_il p + t_il)^ C
         #   B = p_body^ R_il^T C   (extrinsic rotation, optional)
+        # With extrinsic estimation off the trailing 6 columns are zero
+        # (laserMapping.cpp:1995-2000) — emit only the live 6 so the
+        # normal equations shrink to 6x6 (esikf handles any width).
         p_imu = so3.quat_rotate(s.off_r, pts_body) + s.off_t
         C = so3.quat_inv_rotate(s.rot, n)
         Arow = jnp.cross(p_imu, C)
-        h_x = jnp.concatenate(
-            [
-                n,
-                Arow,
-                (
-                    jnp.cross(pts_body, so3.quat_inv_rotate(s.off_r, C))
-                    if extrinsic_est
-                    else jnp.zeros_like(n)
-                ),
-                (C if extrinsic_est else jnp.zeros_like(n)),
-            ],
-            axis=-1,
-        )
+        cols = [n, Arow]
+        if extrinsic_est:
+            cols += [
+                jnp.cross(pts_body, so3.quat_inv_rotate(s.off_r, C)),
+                C,
+            ]
+        h_x = jnp.concatenate(cols, axis=-1)
         h = -pd2
         return MeasurementOut(h_x=h_x, h=h, mask=sel, aux=aux)
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["associate", "umeyama_align", "ate_rmse", "rpe", "pr_rr_f1"]
+__all__ = ["associate", "umeyama_align", "ate_rmse", "rpe", "rpe_rot", "pr_rr_f1"]
 
 
 def associate(t_est: np.ndarray, t_gt: np.ndarray, max_dt: float = 0.05):
@@ -55,12 +55,61 @@ def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray,
     return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
 
 
-def rpe(est_pos: np.ndarray, gt_pos: np.ndarray, delta: int = 10) -> float:
-    """Translational relative pose error RMSE over `delta`-frame gaps."""
-    de = est_pos[delta:] - est_pos[:-delta]
-    dg = gt_pos[delta:] - gt_pos[:-delta]
-    err = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
-    return float(np.sqrt(np.mean(err * err)))
+def _quat_to_R(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 10) -> float:
+    """Translational relative pose error RMSE over `delta`-frame gaps
+    (evo-style): per pair, E = (Q_i^-1 Q_j)^-1 (P_i^-1 P_j) and the
+    error is ||trans(E)||.
+
+    Accepts (N, 7) rows [qw qx qy qz x y z] (full SE3 RPE, expressed in
+    the ground-truth body frame so rotation drift leaks into it) or
+    (N, 3) positions (displacement-vector difference — gauge-dependent,
+    kept for position-only logs).  Use `rpe_rot` for the rotational
+    component."""
+    if est.shape[1] == 3:
+        de = est[delta:] - est[:-delta]
+        dg = gt[delta:] - gt[:-delta]
+        err = np.linalg.norm(de - dg, axis=1)
+        return float(np.sqrt(np.mean(err * err)))
+    Re = _quat_to_R(est[:, 0:4])
+    Rg = _quat_to_R(gt[:, 0:4])
+    # relative motions in each trajectory's own body frame; the error
+    # trans((Q_rel)^-1 P_rel) = Qrel_R^T (de - dg) has the same norm as
+    # de - dg (rotation preserves norms), so compare directly
+    de = np.einsum("nji,nj->ni", Re[:-delta],
+                   est[delta:, 4:7] - est[:-delta, 4:7])
+    dg = np.einsum("nji,nj->ni", Rg[:-delta],
+                   gt[delta:, 4:7] - gt[:-delta, 4:7])
+    e = np.linalg.norm(de - dg, axis=1)
+    return float(np.sqrt(np.mean(e * e)))
+
+
+def rpe_rot(est: np.ndarray, gt: np.ndarray, delta: int = 10) -> float:
+    """Rotational RPE RMSE in degrees over `delta`-frame gaps: the
+    geodesic angle of (Q_i^-1 Q_j)^-1 (P_i^-1 P_j)'s rotation — the
+    component the displacement-magnitude metric is blind to."""
+    Re = _quat_to_R(est[:, 0:4])
+    Rg = _quat_to_R(gt[:, 0:4])
+    Prel = np.einsum("nji,njk->nik", Re[:-delta], Re[delta:])
+    Qrel = np.einsum("nji,njk->nik", Rg[:-delta], Rg[delta:])
+    E = np.einsum("nji,njk->nik", Qrel, Prel)
+    tr = np.clip((np.trace(E, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(tr))
+    return float(np.sqrt(np.mean(ang * ang)))
 
 
 def pr_rr_f1(pred_dynamic: np.ndarray, gt_dynamic: np.ndarray):

@@ -43,6 +43,62 @@ def write_pcd(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None,
             np.savetxt(f, data, fmt="%.6f")
 
 
+def write_pcd_fields(path: str, fields: list[str], data: np.ndarray,
+                     binary: bool = True) -> None:
+    """PCD with arbitrary F4 fields (e.g. the reference's PointTypePose
+    rows x y z intensity roll pitch yaw time in transformations.pcd,
+    laserMapping.cpp:2533-2538)."""
+    n, m = data.shape
+    assert m == len(fields)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {' '.join(fields)}\n"
+        f"SIZE {' '.join(['4'] * m)}\n"
+        f"TYPE {' '.join(['F'] * m)}\n"
+        f"COUNT {' '.join(['1'] * m)}\n"
+        f"WIDTH {n}\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    arr = np.ascontiguousarray(data, np.float32)
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(arr.tobytes())
+        else:
+            np.savetxt(f, arr, fmt="%.6f")
+
+
+def read_pcd_fields(path: str) -> tuple[list[str], np.ndarray]:
+    """Full-field PCD reader: returns (field names, (N, F) f32 data)."""
+    with open(path, "rb") as f:
+        fields = []
+        n_points = 0
+        data_mode = "ascii"
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            if line.startswith("#") or not line:
+                continue
+            key, *vals = line.split()
+            if key == "FIELDS":
+                fields = vals
+            elif key == "POINTS":
+                n_points = int(vals[0])
+            elif key == "DATA":
+                data_mode = vals[0]
+                break
+        m = len(fields)
+        if data_mode == "binary":
+            data = np.frombuffer(f.read(4 * m * n_points),
+                                 np.float32).reshape(n_points, m)
+        else:
+            data = np.loadtxt(f).reshape(n_points, m).astype(np.float32)
+    return fields, data
+
+
 def read_pcd(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Returns (xyz (N,3) f32, intensity (N,) f32). Handles F4 fields in
     any order containing x,y,z[,intensity]; binary and ascii."""

@@ -105,12 +105,14 @@ class SessionWriter:
     clouds: list = field(default_factory=list)  # body-frame (N,3), intensity
     descs: list = field(default_factory=list)  # (20,60)
     poses: list = field(default_factory=list)  # (7,) [wxyz|t]
+    times: list = field(default_factory=list)  # float per keyframe
     edges: list = field(default_factory=list)  # (i, j, pose7)
 
-    def add_keyframe(self, cloud_xyz, intensity, desc, pose7):
+    def add_keyframe(self, cloud_xyz, intensity, desc, pose7, t: float = 0.0):
         self.clouds.append((np.asarray(cloud_xyz), np.asarray(intensity)))
         self.descs.append(np.asarray(desc))
         self.poses.append(np.asarray(pose7))
+        self.times.append(float(t))
 
     def add_edge(self, i, j, rel_pose7):
         self.edges.append((i, j, np.asarray(rel_pose7)))
@@ -142,12 +144,31 @@ class SessionWriter:
                 poses[:, 4:7],
                 np.arange(len(poses), dtype=np.float32),
             )
-            # transformations.pcd: keyframe 6D poses; we store position +
-            # index (full quaternions live in the g2o file)
-            write_pcd(
+            # transformations.pcd: full PointTypePose rows
+            # (x y z intensity roll pitch yaw time) exactly as the
+            # reference packs cloudKeyPoses6D (laserMapping.cpp:2533-2538)
+            # so a reference-built consumer parses it unchanged
+            from .pcd import write_pcd_fields
+
+            rpy = np.zeros((len(poses), 3), np.float32)
+            for k, p in enumerate(poses):
+                qw, qx, qy, qz = p[0:4]
+                rpy[k, 0] = np.arctan2(2 * (qw * qx + qy * qz),
+                                       1 - 2 * (qx * qx + qy * qy))
+                rpy[k, 1] = np.arcsin(np.clip(2 * (qw * qy - qz * qx),
+                                              -1.0, 1.0))
+                rpy[k, 2] = np.arctan2(2 * (qw * qz + qx * qy),
+                                       1 - 2 * (qy * qy + qz * qz))
+            rows = np.zeros((len(poses), 8), np.float32)
+            rows[:, 0:3] = poses[:, 4:7]
+            rows[:, 3] = np.arange(len(poses), dtype=np.float32)
+            rows[:, 4:7] = rpy
+            rows[:, 7] = np.asarray(self.times, np.float32)[: len(poses)]
+            write_pcd_fields(
                 os.path.join(self.root, "transformations.pcd"),
-                poses[:, 4:7],
-                np.arange(len(poses), dtype=np.float32),
+                ["x", "y", "z", "intensity", "roll", "pitch", "yaw",
+                 "time"],
+                rows,
             )
         # KITTI-format trajectory for evo-style evaluation
         with open(os.path.join(self.root, "poses_kitti.txt"), "w") as f:

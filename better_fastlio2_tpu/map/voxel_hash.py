@@ -447,8 +447,13 @@ def insert(
             jnp.where(tryc, idx_c, _INT_MAX)
         )
         won = tryc & (claim[cand] == idx_c)
-        key_arr = key_arr.at[jnp.where(won, cand, C)].set(
-            key_c, mode="drop"
+        # claimed slots are EMPTY (key 0), so scatter-ADD == set here;
+        # measured on v5e, XLA's scatter-add lowers ~60x faster than
+        # scatter-set at these lane counts, and the unique_indices hint
+        # REGRESSES add 77x — plain add is the fast path
+        # (tools/profile_micro4.py)
+        key_arr = key_arr.at[jnp.where(won, cand, C)].add(
+            jnp.where(won, key_c, 0), mode="drop"
         )
         slot = jnp.where(won, cand, slot)
         unresolved = unresolved & ~won
@@ -552,6 +557,18 @@ def insert(
         G = Gx * Gy * Gz
         flat = dense.reshape(G, 2)
         lin = _dense_linear(dense.shape, ijk_s)
+        # Budgeted refreshes write via gather-old + scatter-ADD of the
+        # delta instead of scatter-set: XLA's scatter-add lowers ~10-60x
+        # faster than scatter-set on v5e (tools/profile_micro4.py), and
+        # the budget paths guarantee within-batch-unique torus rows (the
+        # torus spans the batch extent — see the budget docstring), so
+        # old + (new - old) lands exactly on new.
+        def _delta_set(flat, lin_b, row_b, ok_rows):
+            old = flat[jnp.minimum(lin_b, G - 1)]
+            delta = jnp.where(ok_rows[:, None], row_b - old, 0)
+            return flat.at[jnp.where(ok_rows, lin_b, G)].add(
+                delta, mode="drop")
+
         if use_claim_budget and dense_budget > 0:
             # the rows needing a dense write are EXACTLY the claim-loop
             # rows that resolved a slot — reuse the claim compaction
@@ -559,15 +576,16 @@ def insert(
             ok_d = act & (slot_res >= 0)
             lin_b = jnp.where(ok_d, lin[jnp.minimum(sel, n - 1)], G)
             row_b = jnp.stack([key_c, slot_res], axis=-1)
-            flat = flat.at[lin_b].set(row_b, mode="drop")
+            flat = _delta_set(flat, lin_b, row_b, ok_d)
         elif dense_budget > 0 and pre_grouped:
             need = unresolved0 & (head_slot >= 0)
             seld = jnp.nonzero(need, size=dense_budget,
                                fill_value=n)[0].astype(jnp.int32)
             sd = jnp.minimum(seld, n - 1)
-            lin_b = jnp.where(seld < n, lin[sd], G)
+            ok_d = seld < n
+            lin_b = jnp.where(ok_d, lin[sd], G)
             row_b = jnp.stack([key_target[sd], head_slot[sd]], axis=-1)
-            flat = flat.at[lin_b].set(row_b, mode="drop")
+            flat = _delta_set(flat, lin_b, row_b, ok_d)
         else:
             upd = is_head & (head_slot >= 0)
             row = jnp.stack([key_target, head_slot], axis=-1)

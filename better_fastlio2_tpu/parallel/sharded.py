@@ -405,8 +405,7 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
             p_imu = so3.quat_rotate(s.off_r, pts_b_s) + s.off_t
             Crow = so3.quat_inv_rotate(s.rot, n_s)
             h_x = jnp.concatenate(
-                [n_s, jnp.cross(p_imu, Crow),
-                 jnp.zeros_like(n_s), jnp.zeros_like(n_s)], axis=-1)
+                [n_s, jnp.cross(p_imu, Crow)], axis=-1)
             return MeasurementOut(h_x=h_x, h=-pd2, mask=sel, aux=aux)
 
         aux0 = meas.MeasureAux(
@@ -420,6 +419,7 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         x_post, P_post, _, _ = esikf_mod.update_iterated(
             x_prop, P_prop, measure, aux0,
             max_iter=cfg.ikdtree.max_iteration, psum_axis=axis,
+            n_cols=6,
         )
 
         # ---- owner-masked insert + local FoV crop --------------------

@@ -179,6 +179,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             return esikf.update_iterated(
                 x_prop, P_prop, measure, aux0,
                 max_iter=cfg.ikdtree.max_iteration,
+                n_cols=12 if mp.extrinsic_est_en else 6,
             )[:2]
 
         def skip_update(_):
@@ -243,7 +244,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # Pack every per-scan output into ONE flat f32 vector: device->host
         # readback of small oddly-shaped arrays is pathologically slow on
         # the remote-TPU path (a (3,) readback can stall ~seconds), while a
-        # single 1-D vector transfers in ~5 ms.
+        # single 1-D vector transfers in ~5 ms.  Layout (32 floats):
+        #   [0:3]  post pos      [3:7]   post quat
+        #   [7]    n_valid       [8]     map voxels
+        #   [9:12] prop pos      [12:16] prop quat   (mat_pre analog,
+        #          laserMapping.cpp:2358 — post-predict state)
+        #   [16:19] vel  [19:22] bg  [22:25] ba  [25:28] grav
+        #   [28:32] pad
         info_vec = jnp.concatenate(
             [
                 x_post.pos.astype(jnp.float32),
@@ -254,7 +261,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                         voxel_hash.num_voxels(m).astype(jnp.float32),
                     ]
                 ),
-                jnp.zeros(7, jnp.float32),  # pad to 16
+                x_prop.pos.astype(jnp.float32),
+                x_prop.rot.astype(jnp.float32),
+                x_post.vel.astype(jnp.float32),
+                x_post.bg.astype(jnp.float32),
+                x_post.ba.astype(jnp.float32),
+                x_post.grav.astype(jnp.float32),
+                jnp.zeros(4, jnp.float32),  # pad to 32
             ]
         )
         if scan_valid is not None:
@@ -731,6 +744,12 @@ class LIOPipeline:
             "quat": v[3:7],
             "n_ds": int(v[7]),
             "map_voxels": int(v[8]),
+            "prop_pos": v[9:12],  # post-predict state (mat_pre analog)
+            "prop_quat": v[12:16],
+            "vel": v[16:19],
+            "bg": v[19:22],
+            "ba": v[22:25],
+            "grav": v[25:28],
         }
         self.trajectory.append(v[0:7].copy())
         return out

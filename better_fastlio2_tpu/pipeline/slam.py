@@ -70,9 +70,16 @@ class SLAMPipeline:
             max_poses=max_keyframes,
             max_priors=8,
             max_between=4 * max_keyframes,
+            max_gps=(max_keyframes if getattr(cfg, "gps", None)
+                     and cfg.gps.enable else 0),
             dtype=jnp.dtype(cfg.dtype),
         )
         self._graph_dirty = False
+        # GPS stream buffer + factor bookkeeping (addGPSFactor analog —
+        # the stub the reference never finished, laserMapping.cpp:689)
+        self._gps_buf: list[tuple[float, np.ndarray, float]] = []
+        self._gps_added = 0
+        self._last_gps_pos: np.ndarray | None = None
         self._async = None
         if async_backend:
             from ..parallel.distributed import AsyncBackend
@@ -82,18 +89,74 @@ class SLAMPipeline:
     # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
     def _is_keyframe(self, pose7: np.ndarray) -> bool:
         # pure numpy: a device round trip costs ~30 ms on the remote-TPU
-        # path and this gate runs every scan
+        # path and this gate runs every scan.  The reference gates
+        # PER-AXIS roll/pitch/yaw of the between transform (:537-543),
+        # not the total rotation angle — on rolling platforms this
+        # changes keyframe density, so mirror it exactly.
         if not self.keyframes:
             return True
         prev = self.keyframes[-1].pose
         d = float(np.linalg.norm(pose7[4:7] - prev[4:7]))
-        dot = float(np.abs(np.dot(prev[0:4], pose7[0:4])))
-        ang = 2.0 * float(np.arccos(np.clip(dot, -1.0, 1.0)))
+        # relative quaternion prev^-1 * cur -> rpy (ZYX convention)
+        pw, px, py, pz = prev[0:4]
+        cw, cx, cy, cz = pose7[0:4]
+        rw = pw * cw + px * cx + py * cy + pz * cz
+        rx = pw * cx - px * cw - py * cz + pz * cy
+        ry = pw * cy + px * cz - py * cw - pz * cx
+        rz = pw * cz - px * cy + py * cx - pz * cw
+        roll = np.arctan2(2 * (rw * rx + ry * rz),
+                          1 - 2 * (rx * rx + ry * ry))
+        pitch = np.arcsin(np.clip(2 * (rw * ry - rz * rx), -1.0, 1.0))
+        yaw = np.arctan2(2 * (rw * rz + rx * ry),
+                         1 - 2 * (ry * ry + rz * rz))
         mp = self.cfg.mapping
+        thr = mp.keyframe_adding_angle_threshold
         return (
             d > mp.keyframe_adding_dist_threshold
-            or ang > mp.keyframe_adding_angle_threshold
+            or abs(float(roll)) > thr
+            or abs(float(pitch)) > thr
+            or abs(float(yaw)) > thr
         )
+
+    # -- GPS stream (addGPSFactor analog; reference stub :689) -------------
+    def feed_gps(self, t_abs: float, pos, cov: float | None = None):
+        """Buffer one GPS fix (world position, optional position cov in
+        m^2).  Keyframes created near `t_abs` (within gps.max_age) pick
+        it up as a unary factor, spaced >= gps.min_dist apart."""
+        self._gps_buf.append((float(t_abs), np.asarray(pos, np.float64),
+                              float(cov) if cov is not None else -1.0))
+        if len(self._gps_buf) > 1024:
+            self._gps_buf = self._gps_buf[-512:]
+
+    def _maybe_add_gps(self, kf: Keyframe):
+        g = getattr(self.cfg, "gps", None)
+        if g is None or not g.enable or not self._gps_buf:
+            return
+        ts = np.array([b[0] for b in self._gps_buf])
+        covs = np.array([b[2] for b in self._gps_buf])
+        # candidates within the pairing window that pass the
+        # gpsCovThreshold gate; among them prefer lowest covariance,
+        # then closest in time
+        ok = (np.abs(ts - kf.t) <= g.max_age) & ~(
+            (covs >= 0.0) & (covs > g.cov_threshold))
+        if not ok.any():
+            return
+        cand = np.nonzero(ok)[0]
+        j = int(cand[np.lexsort((np.abs(ts[cand] - kf.t), covs[cand]))[0]])
+        t_g, pos_g, cov = self._gps_buf[j]
+        if (self._last_gps_pos is not None
+                and np.linalg.norm(pos_g - self._last_gps_pos) < g.min_dist):
+            return
+        pos = pos_g.copy()
+        if not g.use_elevation:
+            pos[2] = kf.pose[6]  # keep the odometry height (LIO-SAM)
+        sigma = float(np.sqrt(cov)) if cov > 0 else g.sigma
+        self.graph = pg.add_gps(
+            self.graph, kf.idx,
+            jnp.asarray(pos, jnp.dtype(self.cfg.dtype)), sigma,
+        )
+        self._gps_added += 1
+        self._last_gps_pos = pos_g
 
     def process_scan(self, pts, pt_t, imu_acc, imu_gyr, imu_t,
                      scan_beg_abs, scan_end_t):
@@ -140,6 +203,8 @@ class SLAMPipeline:
 
         if self._is_keyframe(pose7):
             self._add_keyframe(pose7, pts, scan_beg_abs + scan_end_t)
+            self._maybe_add_gps(self.keyframes[-1])
+            closed = False
             if (
                 self.cfg.loop.enable
                 and len(self.keyframes) - self._kf_count_at_last_loop
@@ -147,11 +212,16 @@ class SLAMPipeline:
             ):
                 self._kf_count_at_last_loop = len(self.keyframes)
                 closed = self._try_loop_closure()
-                if closed:
-                    if self._async is not None:
-                        self._async.submit(self.graph)
-                    else:
-                        self._optimize_and_correct()
+            # optimize on a closed loop, or periodically once GPS factors
+            # accumulate (the reference's intended addGPSFactor flow runs
+            # isam.update every keyframe; GPS corrections need no loop)
+            gps_due = (self._gps_added > 0
+                       and len(self.keyframes) % self.loop_every == 0)
+            if closed or gps_due:
+                if self._async is not None:
+                    self._async.submit(self.graph)
+                else:
+                    self._optimize_and_correct()
         out["n_keyframes"] = len(self.keyframes)
         out["n_loops"] = len(self.loop_pairs)
         return out
@@ -391,7 +461,7 @@ class SLAMPipeline:
         w = SessionWriter(root=root)
         for kf in self.keyframes:
             w.add_keyframe(kf.cloud, np.zeros(len(kf.cloud)), kf.desc,
-                           kf.pose)
+                           kf.pose, t=kf.t)
         for k in range(1, len(self.keyframes)):
             rel = se3.between(
                 jnp.asarray(self.keyframes[k - 1].pose),

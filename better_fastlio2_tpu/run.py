@@ -70,7 +70,40 @@ def cmd_mapping(args):
     cfg.loop.enable = bool(args.loop)
     cfg.dynamic_removal = bool(getattr(args, 'dynamic', False))
     cfg.sensor_height = getattr(args, 'sensor_height', 0.4)
+    if getattr(args, "gps", False):
+        cfg.gps.enable = True
     pipe = SLAMPipeline(cfg)
+
+    # GPS stream (config #3: datasets with GPS; the reference stubbed
+    # addGPSFactor at laserMapping.cpp:689 — here it is live).  Synthetic
+    # runs synthesize noisy fixes from ground truth; MulRan fixes come
+    # from global_pose.csv translations.
+    gps_fixes: list[tuple[float, np.ndarray, float]] = []
+    if cfg.gps.enable:
+        rng = np.random.default_rng(12345)
+        noise = float(getattr(args, "gps_noise", 0.5))
+        rate = float(getattr(args, "gps_rate", 1.0))
+        kind, _, path = args.dataset.partition(":")
+        if args.dataset == "synthetic":
+            from .io.synthetic import Trajectory
+
+            traj = Trajectory(t_still=1.0, speed=2.0)
+            t = 0.0
+            while t < args.duration:
+                gps_fixes.append(
+                    (t, traj.pos(t) + rng.normal(scale=noise, size=3),
+                     noise * noise))
+                t += 1.0 / rate
+        elif kind == "mulran":
+            from .io.mulran import MulranSequence
+
+            t_g, poses = MulranSequence(path).ground_truth()
+            stride = max(1, int(round(len(t_g) / max(
+                1.0, (t_g[-1] - t_g[0]) * rate))))
+            for k in range(0, len(t_g), stride):
+                gps_fixes.append((float(t_g[k]), poses[k][:, 3].copy(),
+                                  noise * noise))
+    gps_cursor = 0
     timer = ScanTimer()
     n = 0
 
@@ -97,12 +130,22 @@ def cmd_mapping(args):
     if args.state_log and args.output:
         os.makedirs(args.output, exist_ok=True)
         state_log = open(os.path.join(args.output, "pos_log.txt"), "w")
+        # per-frame filter state dumps (laserMapping.cpp:2358-2359):
+        # mat_pre = post-predict state, mat_out = post-update state
+        mat_pre = open(os.path.join(args.output, "mat_pre.txt"), "w")
+        mat_out = open(os.path.join(args.output, "mat_out.txt"), "w")
     else:
-        state_log = None
+        state_log = mat_pre = mat_out = None
     if state_log is None and args.state_log:
         print("--state-log needs --output; ignoring", file=sys.stderr)
 
     for g in _groups_from_dataset(args.dataset, args):
+        # drain GPS fixes up to this scan's end into the backend
+        t_end = g["scan_beg_abs"] + g["scan_end_t"]
+        while gps_cursor < len(gps_fixes) and gps_fixes[gps_cursor][0] <= t_end:
+            tg, pg_, cv = gps_fixes[gps_cursor]
+            pipe.feed_gps(tg, pg_, cv)
+            gps_cursor += 1
         timer.begin_scan(g["scan_beg_abs"])
         with timer.stage("total_scan"):
             out = pipe.process_scan(
@@ -117,6 +160,13 @@ def cmd_mapping(args):
             # time, position, rotation (quat), per-scan
             row = [g["scan_beg_abs"], *out["pos"], *out["quat"]]
             state_log.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+            # mat_pre/mat_out (laserMapping.cpp:2358-2359): predicted vs
+            # updated state per frame, plus filter internals
+            pre = [g["scan_beg_abs"], *out["prop_pos"], *out["prop_quat"]]
+            mat_pre.write(" ".join(f"{v:.6f}" for v in pre) + "\n")
+            post = [g["scan_beg_abs"], *out["pos"], *out["quat"],
+                    *out["vel"], *out["bg"], *out["ba"], *out["grav"]]
+            mat_out.write(" ".join(f"{v:.6f}" for v in post) + "\n")
         if out is not None and n % 50 == 0:
             print(
                 f"scan {n}: pos={np.round(out['pos'], 2)} "
@@ -130,6 +180,8 @@ def cmd_mapping(args):
             break
     if state_log is not None:
         state_log.close()
+        mat_pre.close()
+        mat_out.close()
     if args.output:
         _save(args.output)
     print(
@@ -219,6 +271,11 @@ def main(argv=None):
     mp.add_argument("--config", default=None)
     mp.add_argument("--output", default=None)
     mp.add_argument("--loop", action="store_true")
+    mp.add_argument("--gps", action="store_true",
+                    help="enable GPS unary factors (synthetic: noisy "
+                         "ground-truth fixes; mulran: global_pose.csv)")
+    mp.add_argument("--gps-rate", type=float, default=1.0)
+    mp.add_argument("--gps-noise", type=float, default=0.5)
     mp.add_argument("--state-log", action="store_true",
                     help="write per-scan state rows to pos_log.txt "
                          "(dump_lio_state_to_log analog)")

@@ -52,7 +52,7 @@ for rb in (0, 64, 4096):
             m, pts_ds, ds_valid, max_probe=6, n_neighbors=27,
             single_association=True, max_live=12, plane_cache=True,
             refresh_budget=rb)
-        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4)
+        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4, n_cols=6)
         return xo, Po
     s_upd = lambda x, Pm, rb=rb: s_upd_m(x, Pm, ls.map, rb)
     print(f"update refresh_budget={rb:5d}: {bench_chain(s_upd):7.2f} ms", flush=True)

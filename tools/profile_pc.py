@@ -111,7 +111,7 @@ def main():
         fn, aux0 = measurement.make_measure_fn(
             m, pts_ds, ds_valid, max_probe=6, single_association=True,
             plane_cache=True)
-        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4)
+        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4, n_cols=6)
         return xo, Po
 
     def run_upd(c):

@@ -1,10 +1,12 @@
 """Per-stage timings of the PRODUCTION (bench.py) scan tick.
 
-Same stream-drain chaining as tools/profile_window.py, but with the
-exact bench configuration: plane-cache association, (8,8,7) dense torus,
+Same stream-drain chaining as tools/profile_window.py, with the exact
+bench configuration: plane-cache association, (8,8,7) dense torus,
 moments-only steady insert with claim/dense budgets, packed-key
-downsample.  Use this to find the next bottleneck of the number bench.py
-actually reports.
+downsample, QUANTIZED wire format, and the window filled with the last
+W DISTINCT scan groups (so steady insert/claim work reflects a real
+moving trajectory, not a repeated scan).  Use this to find the next
+bottleneck of the number bench.py actually reports.
 """
 
 from __future__ import annotations
@@ -85,21 +87,24 @@ def main():
     an = jnp.asarray(pipe.acc_norm, jnp.float32)
 
     # ---- full windowed step (W=8), the production steady program -----------
+    # quantized wire format + the last W DISTINCT scan groups, mirroring
+    # bench.py (LIOPipeline(window=8, quantized=True)); a repeated scan
+    # understates steady insert/claim work (every insert hits claimed
+    # voxels), and the unquantized program skips dequantization.
     W = 8
-    win = lio_mod.WindowInputs(
-        pts=jnp.tile(pts[None], (W, 1, 1)),
-        pt_t=jnp.tile(pt_t[None], (W, 1)),
-        pt_valid=jnp.tile(pt_valid[None], (W, 1)),
-        imu_acc=jnp.tile(batch.acc[None], (W, 1, 1)),
-        imu_gyr=jnp.tile(batch.gyr[None], (W, 1, 1)),
-        imu_t=jnp.tile(batch.t[None], (W, 1)),
-        imu_mask=jnp.tile(batch.mask[None], (W, 1)),
-        last_end_rel=jnp.zeros(W, jnp.float32),
-        scan_end_t=jnp.full(W, float(g["scan_end_t"]), jnp.float32),
-        scan_valid=jnp.ones(W, bool),
+    qrows = []
+    for gw in groups[-W:]:
+        Pw, Tw, Vw = pipe._pad_points(gw["pts"], gw["pt_t"])
+        Aw, Gw, Ttw, Mkw = pipe._pad_imu(gw["imu_acc"], gw["imu_gyr"],
+                                         gw["imu_t"])
+        qrows.append(pipe._pack_quant(Pw, Tw, Vw, Aw, Gw, Ttw, Mkw,
+                                      0.0, float(gw["scan_end_t"])))
+    win = lio_mod.QuantWindowInputs(
+        bulk=jnp.asarray(np.stack([r[0] for r in qrows])),
+        meta=jnp.asarray(np.stack([r[1] for r in qrows])),
     )
     wstep = lio_mod.make_window_step_fn(cfg, W, plane_cache=True,
-                                        unroll=W)
+                                        quantized=True, unroll=W)
 
     def copy_ls(ls):
         return jax.tree_util.tree_map(jnp.copy, ls)
@@ -149,7 +154,7 @@ def main():
             m, pd, dv, max_probe=sh.map_max_probe,
             n_neighbors=27, single_association=True,
             max_live=sh.knn_max_live, plane_cache=True)
-        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4)
+        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4, n_cols=6)
         return xo, Po
 
     def run_upd(c, m):

@@ -128,7 +128,7 @@ def main():
             m, pd, dv, max_probe=sh.map_max_probe,
             n_neighbors=27, single_association=True,
             max_live=sh.knn_max_live)
-        return esikf.update_iterated(x, Pm, fn, aux0, max_iter=4)[:2]
+        return esikf.update_iterated(x, Pm, fn, aux0, max_iter=4, n_cols=6)[:2]
 
     print(f"update x4 (sa)  : {bench_fn(s_upd, ls.map, pts_ds, ds_valid, ls.x, ls.P):7.2f} ms")
 

@@ -153,7 +153,7 @@ def main():
             m, pd, dv, max_probe=sh.map_max_probe,
             n_neighbors=27, single_association=True,
             max_live=sh.knn_max_live)
-        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4)
+        xo, Po, _, _ = esikf.update_iterated(x, Pm, fn, aux0, max_iter=4, n_cols=6)
         return xo, Po
 
     def run_upd(c, m):
