@@ -76,6 +76,11 @@ class IkdtreeConfig:
     # (meters-level divergence observed when the plane-cache association
     # engages while the pose error is still large).
     mom_cap: int = 24
+    # run each ESIKF solve iteration as one fused Pallas pass
+    # (ops/pallas_kernels.fused_normal_eqs) — applies only when
+    # single_association is on and extrinsic estimation is off; ignored
+    # (jnp path) otherwise
+    fused_solve: bool = True
 
 
 @dataclass

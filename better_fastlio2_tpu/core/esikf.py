@@ -190,12 +190,18 @@ class MeasurementOut(NamedTuple):
     h:     (N,) residual vector (reference stores -pd2).
     mask:  (N,) bool — valid rows.
     aux:   arbitrary pytree threaded back to the model (e.g. kNN cache).
+    gram:  optional (8, 8) precomputed Gram matrix from the fused Pallas
+           measurement kernel (ops/pallas_kernels.fused_normal_eqs):
+           gram[:K,:K] = H^T W H, gram[:K,6] = H^T W h, gram[7,7] =
+           n_valid.  When set, h_x/h/mask may be empty — the update
+           consumes the normal equations directly.
     """
 
     h_x: jax.Array
     h: jax.Array
     mask: jax.Array
     aux: object = None
+    gram: jax.Array | None = None
 
 
 def _dx_transport(dx: jax.Array, x: State, x_prop: State) -> tuple[jax.Array, jax.Array]:
@@ -306,26 +312,35 @@ def update_iterated(
     def body(c):
         x, t, conv, aux, i = c["x"], c["t"], c["conv"], c["aux"], c["i"]
         m = measure_fn(x, conv, aux)
-        w = m.mask.astype(dtype)
-        h_x = m.h_x * w[:, None]
-        h = m.h * w
-        n_valid = jnp.sum(w)
         # measurement models may emit only the leading K Jacobian columns
         # (K=6 when extrinsic estimation is off — cols 6:12 are zero,
         # laserMapping.cpp:1983-1994): the normal equations shrink to KxK
-        K = h_x.shape[1]
-        assert K == n_cols, (K, n_cols)
+        K = n_cols
+        if m.gram is not None:
+            # fused path: the (8,8) Gram already holds the reduction
+            assert K == 6, K
+            G = m.gram.astype(dtype)
+            if psum_axis is not None:
+                G = jax.lax.psum(G, psum_axis)
+            HTH = G[:K, :K]
+            HTh = G[:K, 6]
+            n_valid = G[7, 7]
+        else:
+            w = m.mask.astype(dtype)
+            h_x = m.h_x * w[:, None]
+            h = m.h * w
+            n_valid = jnp.sum(w)
+            assert h_x.shape[1] == n_cols, (h_x.shape, n_cols)
+            HTH = h_x.T @ h_x  # (K, K)
+            HTh = h_x.T @ h  # (K,)
+            if psum_axis is not None:
+                HTH = jax.lax.psum(HTH, psum_axis)
+                HTh = jax.lax.psum(HTh, psum_axis)
+                n_valid = jax.lax.psum(n_valid, psum_axis)
 
         dx = boxminus(x, x_prop)
         T, dx_new = _dx_transport(dx, x, x_prop)
         P = T @ P_prop @ T.T
-
-        HTH = h_x.T @ h_x  # (K, K)
-        HTh = h_x.T @ h  # (K,)
-        if psum_axis is not None:
-            HTH = jax.lax.psum(HTH, psum_axis)
-            HTh = jax.lax.psum(HTh, psum_axis)
-            n_valid = jax.lax.psum(n_valid, psum_axis)
         valid = n_valid >= 1.0  # laserMapping.cpp:1956-1961 guard
         # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior
         # inverse via the closed-form transport inverse (see above); the

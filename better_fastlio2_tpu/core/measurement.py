@@ -254,6 +254,7 @@ class MeasureAux(NamedTuple):
     searched: jax.Array  # () bool — an association pass has run
     assoc_ijk: jax.Array  # (N, 3) int32 voxel of each point at association
     refreshed: jax.Array  # () bool — the one lazy refresh pass has run
+    soa: jax.Array | None = None  # (16, N) fused-solve buffer (pack_soa)
 
 
 def transform_to_world(s: State, pts_body: jax.Array) -> jax.Array:
@@ -273,6 +274,7 @@ def make_measure_fn(
     max_live: int = 0,
     plane_cache: bool = False,
     refresh_budget: int = 4096,
+    fused_solve: bool = False,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -296,6 +298,16 @@ def make_measure_fn(
     plane_cache=True replaces the 5-NN + plane fit with the per-voxel
     moment-cache plane (plane_from_moments) — the map must be allocated
     with moments=True.
+    fused_solve=True (requires single_association and extrinsic_est off)
+    runs each solve iteration as ONE fused Pallas pass
+    (ops/pallas_kernels.fused_normal_eqs): transform, residual, robust
+    gate, Jacobian rows and the 6x6 normal equations never materialise
+    N-sized intermediates in HBM.  Valid because with extrinsic
+    estimation off the extrinsic error-state columns of the gain are
+    exactly zero (H has no extrinsic columns and P keeps the extrinsic
+    blocks decoupled), so p_imu = R_il p + t_il is bit-constant across
+    iterations and can be packed once per association pass.  On
+    non-TPU backends the identical-math jnp reference runs instead.
     """
     N = pts_body.shape[0]
     dtype = pts_body.dtype
@@ -315,6 +327,12 @@ def make_measure_fn(
             & rows_valid
         )
         return plane_fit(nb, nn_ok)
+
+    if fused_solve:
+        assert not extrinsic_est, "fused_solve requires extrinsic_est off"
+        assert single_association, "fused_solve requires single_association"
+        return _make_fused_measure(
+            m, pts_body, pts_valid, search_rows, refresh_budget)
 
     def measure(s: State, converged: jax.Array, aux: MeasureAux) -> MeasurementOut:
         p_world = transform_to_world(s, pts_body)
@@ -402,5 +420,100 @@ def make_measure_fn(
         searched=jnp.array(False),
         assoc_ijk=jnp.zeros((N, 3), jnp.int32),
         refreshed=jnp.array(False),
+    )
+    return measure, aux0
+
+
+def _make_fused_measure(m, pts_body, pts_valid, search_rows,
+                        refresh_budget: int):
+    """Fused-solve variant of make_measure_fn's measure closure (see its
+    docstring).  Association packs a (16, N) SoA buffer once per scan;
+    every iteration is one fused_normal_eqs pass producing the Gram
+    matrix the esikf consumes directly (MeasurementOut.gram)."""
+    from ..ops import pallas_kernels as pk
+
+    N = pts_body.shape[0]
+    dtype = pts_body.dtype
+    use_kernel = jax.default_backend() != "cpu"
+    invb = 0.9 / jnp.sqrt(
+        jnp.maximum(jnp.linalg.norm(pts_body, axis=-1), 1e-8))
+    vs = jnp.asarray(m.voxel_size, dtype)
+    n_val_scan = jnp.sum(pts_valid.astype(dtype))
+
+    def normal_eqs(soa, params):
+        if use_kernel:
+            return pk.fused_normal_eqs(soa, params)
+        return pk.fused_normal_eqs_reference(soa, params)
+
+    def build_aux(s, aux):
+        p_world = transform_to_world(s, pts_body)
+        ijk = voxel_hash._voxel_of(p_world, m.voxel_size)
+        n, d, ok = search_rows(p_world, pts_valid)
+        p_imu = so3.quat_rotate(s.off_r, pts_body) + s.off_t
+        soa = pk.pack_soa(p_imu, n, d, invb, ok, ijk, pts_valid)
+        return MeasureAux(n, d, ok, jnp.array(True), ijk,
+                          jnp.array(False), soa)
+
+    def measure(s: State, converged: jax.Array,
+                aux: MeasureAux) -> MeasurementOut:
+        aux = jax.lax.cond(
+            jnp.logical_not(aux.searched),
+            lambda a: build_aux(s, a), lambda a: a, aux)
+
+        params = jnp.concatenate([
+            so3.quat_to_matrix(s.rot).reshape(-1), s.pos,
+            vs[None], jnp.zeros(3, dtype),
+        ]).astype(jnp.float32)
+        G, n_moved = normal_eqs(aux.soa, params)
+
+        if refresh_budget > 0:
+            fire = (converged & jnp.logical_not(aux.refreshed)
+                    & (n_moved * 20.0 > n_val_scan))
+
+            def do_refresh(aux):
+                p_world = transform_to_world(s, pts_body)
+                ijk_now = voxel_hash._voxel_of(p_world, m.voxel_size)
+                need = pts_valid & jnp.any(
+                    ijk_now != aux.assoc_ijk, axis=-1)
+                sel = jnp.nonzero(need, size=refresh_budget,
+                                  fill_value=N)[0].astype(jnp.int32)
+                act = sel < N
+                safe = jnp.minimum(sel, N - 1)
+                n_s, d_s, ok_s = search_rows(p_world[safe], act)
+                p_imu_s = (so3.quat_rotate(s.off_r, pts_body[safe])
+                           + s.off_t)
+                cols = pk.pack_soa(p_imu_s, n_s, d_s, invb[safe], ok_s,
+                                   ijk_now[safe], pts_valid[safe] & act)
+                dst = jnp.where(act, sel, N)
+                return aux._replace(
+                    normal=aux.normal.at[dst].set(n_s, mode="drop"),
+                    d=aux.d.at[dst].set(d_s, mode="drop"),
+                    fit_ok=aux.fit_ok.at[dst].set(ok_s, mode="drop"),
+                    assoc_ijk=aux.assoc_ijk.at[dst].set(
+                        ijk_now[safe], mode="drop"),
+                    refreshed=jnp.array(True),
+                    soa=aux.soa.at[:, dst].set(cols, mode="drop"),
+                )
+
+            aux = jax.lax.cond(fire, do_refresh, lambda a: a, aux)
+            G, n_moved = jax.lax.cond(
+                fire,
+                lambda: normal_eqs(aux.soa, params),
+                lambda: (G, n_moved),
+            )
+
+        return MeasurementOut(
+            h_x=jnp.zeros((0, 6), dtype), h=jnp.zeros(0, dtype),
+            mask=jnp.zeros(0, bool), aux=aux, gram=G,
+        )
+
+    aux0 = MeasureAux(
+        normal=jnp.zeros((N, 3), dtype),
+        d=jnp.zeros(N, dtype),
+        fit_ok=jnp.zeros(N, bool),
+        searched=jnp.array(False),
+        assoc_ijk=jnp.zeros((N, 3), jnp.int32),
+        refreshed=jnp.array(False),
+        soa=jnp.zeros((pk.SOA_CH, N), dtype),
     )
     return measure, aux0

@@ -44,6 +44,10 @@ __all__ = [
     "sharded_map_insert",
     "sharded_map_knn",
     "make_sharded_step_fn",
+    "slab_owner",
+    "sharded_slab_insert",
+    "sharded_slab_migrate",
+    "comm_volume_per_scan",
 ]
 
 
@@ -443,6 +447,181 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         out_specs=(xspec, P(), P(axis), P()),
         check_vma=False,
     ), donate_argnums=(2,))
+
+
+# ---------------------------------------------------------------------------
+# Slab ownership + collective_permute repartitioning (SURVEY.md P6): the
+# spatially-partitioned alternative to hash ownership.  Device d owns
+# x-slabs with ((slab_index - shift) mod D) == d.  Slab ownership gives
+# neighborhood locality (a query's 27-cell neighborhood spans at most 2
+# adjacent slabs, so kNN partials need only neighbor exchanges instead
+# of a full all_gather) at the price of load skew when the point density
+# is anisotropic along x.
+#
+# Moving-FoV accounting: with `shift` FIXED, advancing the FoV cube
+# needs NO migration at all — slabs entering the front are claimed by
+# their cyclic owner on first insert, slabs leaving the rear are cropped
+# locally — the same zero-communication property as hash ownership.
+# `shift` exists for REBALANCING: rotating it by +1 reassigns every slab
+# from owner d to d-1, a pure ring handoff, which sharded_slab_migrate
+# executes as lax.ppermute steps (each device compacts the rows it no
+# longer owns into a fixed-size buffer, sends it to its ring
+# predecessor, tombstones them locally, and bulk-inserts the received
+# rows).  This is the collective_permute map-shard migration path; the
+# production default remains hash ownership (_owner_of), which never
+# migrates.
+# ---------------------------------------------------------------------------
+
+
+def slab_owner(ijk: jax.Array, n_dev: int, shift, slab_log2: int = 4
+               ) -> jax.Array:
+    """Owning device of a voxel under x-slab partitioning: slabs of
+    2^slab_log2 cells along x, cyclically assigned, rotated by `shift`."""
+    slab = ijk[..., 0] >> slab_log2
+    return jnp.mod(slab - shift, n_dev)
+
+
+def sharded_slab_insert(mesh: Mesh, axis: str = "dp", slab_log2: int = 4,
+                        max_probe: int = 16):
+    """insert(m_sharded, shift, pts_world (N,3) replicated, valid) under
+    slab ownership — each device claims only voxels it owns at `shift`."""
+    n_dev = mesh.devices.size
+
+    def local(m, shift, pts_world, valid):
+        m_loc = jax.tree_util.tree_map(lambda a: a[0], m)
+        me = jax.lax.axis_index(axis)
+        ijk = voxel_hash._voxel_of(pts_world, m_loc.voxel_size)
+        mine = valid & (slab_owner(ijk, n_dev, shift, slab_log2) == me)
+        m2 = voxel_hash.insert(m_loc, pts_world, mine, max_probe=max_probe)
+        return jax.tree_util.tree_map(lambda a: a[None], m2)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis), check_vma=False,
+    )
+
+
+def sharded_slab_migrate(mesh: Mesh, axis: str = "dp", slab_log2: int = 4,
+                         max_rows: int = 4096, max_probe: int = 16):
+    """One collective_permute migration step: advance slab ownership to
+    `shift_new` (old was shift_new - 1) and hand off rows ring-wise.
+
+    Returns migrate(m_sharded, shift_new) -> (m_sharded', n_left,
+    bytes_moved, n_lost): n_left counts rows still mis-owned after this
+    step (buffer overflow — call again until 0; the per-step cap bounds
+    both the ppermute payload and the compaction cost), bytes_moved the
+    actual ICI payload this step (sum over devices of sent-row bytes),
+    n_lost the rows whose receiver-side slot claim failed (probe-chain
+    exhaustion — 0 in practice at sane load factors; the claim probes
+    4x deeper than lookups because a lost row is lost map content).
+    """
+    n_dev = mesh.devices.size
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local(m, shift_new):
+        m_loc = jax.tree_util.tree_map(lambda a: a[0], m)
+        me = jax.lax.axis_index(axis)
+        C = m_loc.capacity
+        has_mom = m_loc.mom is not None
+
+        live = (m_loc.key & voxel_hash._LIVE_BIT) != 0
+        coords = m_loc.coords  # from first stored point (live rows)
+        owner = slab_owner(coords, n_dev, shift_new, slab_log2)
+        send = live & (owner != me)
+
+        sel = jnp.nonzero(send, size=max_rows, fill_value=C)[0].astype(
+            jnp.int32)
+        act = sel < C
+        safe = jnp.minimum(sel, C - 1)
+        b_coords = jnp.where(act[:, None], coords[safe], 0)
+        b_count = jnp.where(act, m_loc.count[safe], 0)
+        b_pts = jnp.where(act[:, None, None], m_loc.points[safe],
+                          voxel_hash._SENTINEL)
+        b_mom = (jnp.where(act[:, None], m_loc.mom[safe], 0.0)
+                 if has_mom else None)
+
+        # tombstone the handed-off rows (chains stay walkable)
+        dst = jnp.where(act, sel, C)
+        key = m_loc.key.at[dst].set(voxel_hash._KEY_TOMB, mode="drop")
+        count = m_loc.count.at[dst].set(0, mode="drop")
+        points = m_loc.points.at[dst].set(
+            jnp.full((m_loc.bucket, 3), voxel_hash._SENTINEL,
+                     m_loc.points.dtype), mode="drop")
+        mom = (m_loc.mom.at[dst].set(0.0, mode="drop") if has_mom
+               else None)
+        m_loc = m_loc._replace(key=key, count=count, points=points, mom=mom)
+
+        # ring handoff: every mis-owned row's new owner is me-1 exactly
+        # (owner = (slab - shift) mod D and shift grew by 1)
+        r_coords = jax.lax.ppermute(b_coords, axis, perm)
+        r_count = jax.lax.ppermute(b_count, axis, perm)
+        r_pts = jax.lax.ppermute(b_pts, axis, perm)
+        r_act = jax.lax.ppermute(act, axis, perm)
+        r_mom = (jax.lax.ppermute(b_mom, axis, perm) if has_mom else None)
+
+        # bulk insert: claim a slot per received voxel (its center claims
+        # the right cell), then write the rows wholesale — receivers
+        # cannot already hold these voxels (single-owner invariant)
+        vs = m_loc.voxel_size
+        centers = (r_coords.astype(m_loc.points.dtype) + 0.5) * vs
+        m2 = voxel_hash.insert(m_loc, centers, r_act,
+                               max_probe=4 * max_probe, claim_only=True)
+        slots = voxel_hash._lookup_slots(m2.key, r_coords, 4 * max_probe)
+        okk = r_act & (slots >= 0)
+        sdst = jnp.where(okk, slots, C)
+        count = m2.count.at[sdst].set(r_count, mode="drop")
+        points = m2.points.at[sdst].set(r_pts, mode="drop")
+        mom = (m2.mom.at[sdst].set(r_mom, mode="drop") if has_mom
+               else m2.mom)
+        m2 = m2._replace(count=count, points=points, mom=mom)
+
+        n_sent = jnp.sum(act.astype(jnp.int32))
+        n_left = jax.lax.psum(
+            jnp.sum((send.astype(jnp.int32))) - n_sent, axis)
+        n_lost = jax.lax.psum(
+            jnp.sum((r_act & (slots < 0)).astype(jnp.int32)), axis)
+        row_bytes = 4 + 4 + m_loc.bucket * 3 * 4 + (40 if has_mom else 0)
+        bytes_moved = jax.lax.psum(n_sent * row_bytes, axis)
+        return (jax.tree_util.tree_map(lambda a: a[None], m2), n_left,
+                bytes_moved, n_lost)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False,
+    )
+
+
+def comm_volume_per_scan(cfg, n_dev: int) -> dict:
+    """Estimated per-device ICI bytes for one sharded scan tick
+    (make_sharded_step_fn), by collective (SURVEY.md §7.3).  Ring
+    accounting: all_gather of global size S receives S(D-1)/D bytes per
+    device; psum (all-reduce) moves 2S(D-1)/D."""
+    sh = cfg.shapes
+    f = (n_dev - 1) / n_dev
+    iters = cfg.ikdtree.max_iteration + 1  # worst-case ESIKF passes
+    S_ds = sh.n_ds * 3 * 4
+    S_mom = sh.n_ds * 10 * 4
+    k = 5
+    S_knn = sh.n_ds * k * (4 + 12)  # d2 + points partial top-k
+    S_gram = 8 * 8 * 4
+    vol = {
+        "all_gather_downsample_bytes": S_ds * f,
+        "psum_moment_partials_bytes": 2 * S_mom * f,
+        "all_gather_knn_merge_bytes": S_knn * f * n_dev,  # (D,N,k) gather
+        "psum_normal_eqs_bytes": 2 * S_gram * f * iters,
+        "n_devices": n_dev,
+    }
+    vol["steady_total_bytes_per_scan"] = (
+        vol["all_gather_downsample_bytes"]
+        + vol["psum_moment_partials_bytes"]
+        + vol["psum_normal_eqs_bytes"]
+    )
+    vol["warmup_total_bytes_per_scan"] = (
+        vol["all_gather_downsample_bytes"]
+        + vol["all_gather_knn_merge_bytes"]
+        + vol["psum_normal_eqs_bytes"]
+    )
+    return vol
 
 
 def sharded_posegraph_hvp(mesh: Mesh, axis: str = "dp"):

@@ -173,6 +173,11 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 if plane_cache is None
                 else plane_cache
             ),
+            fused_solve=(
+                getattr(cfg.ikdtree, "fused_solve", True)
+                and getattr(cfg.ikdtree, "single_association", False)
+                and not mp.extrinsic_est_en
+            ),
         )
 
         def do_update(_):

@@ -72,7 +72,14 @@ def cmd_mapping(args):
     cfg.sensor_height = getattr(args, 'sensor_height', 0.4)
     if getattr(args, "gps", False):
         cfg.gps.enable = True
-    pipe = SLAMPipeline(cfg)
+    # async pose-graph optimization by default when loops are on — the
+    # analog of the reference's detached 1 Hz loop-closure thread
+    # (laserMapping.cpp:2216); --sync-backend forces in-line optimization
+    pipe = SLAMPipeline(
+        cfg,
+        async_backend=cfg.loop.enable
+        and not getattr(args, "sync_backend", False),
+    )
 
     # GPS stream (config #3: datasets with GPS; the reference stubbed
     # addGPSFactor at laserMapping.cpp:689 — here it is live).  Synthetic
@@ -271,6 +278,9 @@ def main(argv=None):
     mp.add_argument("--config", default=None)
     mp.add_argument("--output", default=None)
     mp.add_argument("--loop", action="store_true")
+    mp.add_argument("--sync-backend", action="store_true",
+                    help="optimize the pose graph inline instead of the "
+                    "default async dispatch (AsyncBackend)")
     mp.add_argument("--gps", action="store_true",
                     help="enable GPS unary factors (synthetic: noisy "
                          "ground-truth fixes; mulran: global_pose.csv)")
