@@ -155,12 +155,18 @@ def main():
     ls = pipe.ls
     ls, _ = pipe._wstep(ls, win, an)  # warm (program already compiled)
     np.asarray(_[0])
-    reps = 6
-    t0 = time.perf_counter()
-    for _i in range(reps):
-        ls, infos = pipe._wstep(ls, win, an)
-    np.asarray(infos[0])
-    device_ms = 1e3 * (time.perf_counter() - t0) / (reps * window)
+    # groups of chained windows with one sync each; the median group
+    # rejects the multi-second stalls the remote transport occasionally
+    # injects (a single mean over all reps absorbed them before)
+    chain, n_groups = 3, 4
+    group_ms = []
+    for _g in range(n_groups):
+        t0 = time.perf_counter()
+        for _i in range(chain):
+            ls, infos = pipe._wstep(ls, win, an)
+        np.asarray(infos[0])
+        group_ms.append(1e3 * (time.perf_counter() - t0) / (chain * window))
+    device_ms = float(np.median(group_ms))
 
     print(
         json.dumps(

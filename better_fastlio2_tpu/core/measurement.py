@@ -149,33 +149,31 @@ def neighborhood_moment_sums(
     if cell_mask_fn is not None:
         slots = jnp.where(cell_mask_fn(nb), slots, -1)
 
-    safe = jnp.maximum(slots, 0)
-    mom = m.mom[safe]  # (N, NB, 10)
-    mom = jnp.where(slots[..., None] >= 0, mom, 0.0)
-
     # rebase each neighbor's corner-relative moments to the OWN cell's
     # corner: delta = offs * vs (exact small constants), then
     #   S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b
-    delta = offs.astype(dtype) * vs  # (NB, 3)
-    n_c = mom[..., 0]  # (N, NB)
-    S1 = mom[..., 1:4]  # (N, NB, 3)
-    d_ = delta[None]  # (1, NB, 3)
-    S1r = S1 + n_c[..., None] * d_
-    S2u = mom[..., 4:10]  # upper-tri (xx, xy, xz, yy, yz, zz)
-    dS = d_[..., :, None] * S1[..., None, :] + d_[..., None, :] * S1[..., :, None]
-    dd = d_[..., :, None] * d_[..., None, :]
-    iu_r = jnp.array([0, 0, 0, 1, 1, 2])
-    iu_c = jnp.array([0, 1, 2, 1, 2, 2])
-    S2r = (
-        S2u
-        + dS[..., iu_r, iu_c]
-        + n_c[..., None] * dd[..., iu_r, iu_c]
-    )
-    sums = jnp.concatenate(
-        [jnp.sum(n_c, axis=1, keepdims=True),
-         jnp.sum(S1r, axis=1),
-         jnp.sum(S2r, axis=1)], axis=-1,
-    )  # (N, 10)
+    # The sum over the 7 neighbors is accumulated one offset at a time
+    # with the offset components as TRACE-TIME scalars: only (N, 10)
+    # intermediates ever exist, vs the (N, 7, 3, 3) broadcast tensors of
+    # the tensorized form (~17 MB of HBM round trips at n_ds = 16k,
+    # measurably slower on v5e).
+    sums = jnp.zeros((N, 10), dtype)
+    iu = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    for j in range(NB):
+        sl = slots[:, j]
+        momj = jnp.where((sl >= 0)[:, None],
+                         m.mom[jnp.maximum(sl, 0)], 0.0)  # (N, 10)
+        n_c = momj[:, 0]
+        S1 = momj[:, 1:4]
+        # δ_j as python-float scalars when vs is static, else traced
+        dj = [offs[j, a].astype(dtype) * vs for a in range(3)]
+        S1r = jnp.stack([S1[:, a] + n_c * dj[a] for a in range(3)], -1)
+        S2r = jnp.stack(
+            [momj[:, 4 + k] + dj[a] * S1[:, b] + dj[b] * S1[:, a]
+             + n_c * (dj[a] * dj[b]) for k, (a, b) in enumerate(iu)],
+            -1,
+        )
+        sums = sums + jnp.concatenate([n_c[:, None], S1r, S2r], axis=-1)
     return sums, ijk
 
 

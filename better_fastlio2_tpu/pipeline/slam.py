@@ -63,7 +63,7 @@ class SLAMPipeline:
         self._scan_hist = None
         self.sc_params = sc_params or sc.SCParams()
         self.keyframes: list[Keyframe] = []
-        self.loop_pairs: list[tuple[int, int]] = []
+        self.loop_pairs: list[tuple[int, int, float]] = []  # (i, j, fitness)
         self.loop_every = loop_every
         self._kf_count_at_last_loop = 0
         self.graph = pg.make_graph(
@@ -380,7 +380,7 @@ class SLAMPipeline:
             sigma,
             sigma,
         )
-        self.loop_pairs.append((cand, cur.idx))
+        self.loop_pairs.append((cand, cur.idx, float(res.fitness)))
         return True
 
     # -- optimize + correct (saveKeyFramesAndFactor/correctPoses) ----------
@@ -468,10 +468,25 @@ class SLAMPipeline:
                 jnp.asarray(self.keyframes[k].pose),
             )
             w.add_edge(k - 1, k, np.asarray(rel))
-        for (i, j) in self.loop_pairs:
+        for (i, j, _fit) in self.loop_pairs:
             rel = se3.between(
                 jnp.asarray(self.keyframes[i].pose),
                 jnp.asarray(self.keyframes[j].pose),
             )
             w.add_edge(i, j, np.asarray(rel))
         w.save()
+        # loop markers for inspection — the file analog of the reference's
+        # RViz loop-constraint marker array (laserMapping.cpp:456-522):
+        # one row per accepted loop with both endpoint positions, so any
+        # plotting tool can draw the node pair + connecting line
+        import os as _os
+
+        with open(_os.path.join(root, "loop_markers.txt"), "w") as f:
+            f.write("# i j fitness xi yi zi xj yj zj\n")
+            for (i, j, fit) in self.loop_pairs:
+                pi = np.asarray(self.keyframes[i].pose)[4:7]
+                pj = np.asarray(self.keyframes[j].pose)[4:7]
+                f.write(
+                    f"{i} {j} {fit:.6f} "
+                    + " ".join(f"{v:.6f}" for v in pi) + " "
+                    + " ".join(f"{v:.6f}" for v in pj) + "\n")

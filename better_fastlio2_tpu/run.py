@@ -28,6 +28,17 @@ import sys
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even when a sitecustomize pins a backend plugin:
+# the env var is applied as a config update (the var alone is overridden
+# by the plugin's early initialization in some deployments).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 
 def _groups_from_dataset(spec: str, args):
     if spec == "synthetic":

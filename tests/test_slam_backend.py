@@ -102,6 +102,22 @@ def test_loop_closure_on_fabricated_revisit(rng):
     closed = pipe._try_loop_closure()
     assert closed, "loop closure not detected/verified"
     assert pipe.loop_pairs, "no loop factor recorded"
+    i0, j0, fit0 = pipe.loop_pairs[0]
+    assert 0 <= fit0 < 1.0  # ICP fitness recorded with the pair
+
+    # loop-marker export (reference marker array analog,
+    # laserMapping.cpp:456-522)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pipe.save_session(td)
+        import os
+
+        lines = open(os.path.join(td, "loop_markers.txt")).readlines()
+        assert len(lines) == 1 + len(pipe.loop_pairs)
+        row = lines[1].split()
+        assert int(row[0]) == i0 and int(row[1]) == j0
+        assert len(row) == 9
 
     pipe.lio.ls = None  # not running the front end here
     pipe._optimize_and_correct_graph_only = True
