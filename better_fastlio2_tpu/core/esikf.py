@@ -271,6 +271,7 @@ def update_iterated(
     limit: float = 0.001,
     psum_axis: str | None = None,
     n_cols: int = 12,
+    fused: bool = False,
 ):
     """Iterated dyn-share measurement update (esekfom.hpp:1620-1938).
 
@@ -301,10 +302,14 @@ def update_iterated(
     # per-iteration 23x23 Cholesky of the prior collapses to two small
     # block inverses + two matmuls (tiny factorizations are serial
     # latency chains on TPU, ~0.1-0.2 ms each)
-    P_sym = 0.5 * (P_prop + P_prop.T)
-    Pp_inv = jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(P_sym + 1e-9 * R * eyeP), True), eyeP
-    )
+    # (the fused/Woodbury gain path never touches the prior inverse)
+    if fused:
+        Pp_inv = None
+    else:
+        P_sym = 0.5 * (P_prop + P_prop.T)
+        Pp_inv = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(P_sym + 1e-9 * R * eyeP), True), eyeP
+        )
 
     def cond(c):
         return jnp.logical_not(c["done"])
@@ -342,19 +347,34 @@ def update_iterated(
         T, dx_new = _dx_transport(dx, x, x_prop)
         P = T @ P_prop @ T.T
         valid = n_valid >= 1.0  # laserMapping.cpp:1956-1961 guard
-        # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior
-        # inverse via the closed-form transport inverse (see above); the
-        # single remaining 23x23 Cholesky solves only the K columns the
-        # gain needs.  Symmetrise — f32 transport products drift.
         P = 0.5 * (P + P.T)
-        Ti = _transport_inv(T)
-        S_inv = R * (Ti.T @ Pp_inv @ Ti)
-        S_inv = 0.5 * (S_inv + S_inv.T)
-        A = S_inv.at[:K, :K].add(HTH)
-        # A is SPD (S_inv SPD + HTH PSD) — Cholesky beats LU here
-        P_inv12 = jax.scipy.linalg.cho_solve(
-            (jnp.linalg.cholesky(A), True), eyeP[:, :K]
-        )  # (23, K) = A^-1[:, :K]
+        if m.gram is not None:
+            # Woodbury form of the gain columns: with A = S_inv + U HTH Uᵀ
+            # (U = the first K columns of I) and S_inv = R (T P_prop Tᵀ)⁻¹
+            # = R P⁻¹,
+            #   A⁻¹ U = S⁻¹ U (I_K + HTH · Uᵀ S⁻¹ U)⁻¹
+            #         = (P/R)[:, :K] (I_K + HTH (P/R)[:K, :K])⁻¹
+            # — algebraically identical to the 23×23 Cholesky path but
+            # with ONE K×K solve per iteration and no prior inverse at
+            # all (the tiny serial factorizations are latency chains on
+            # TPU; this is the fused-solve fast path).
+            P6 = P[:, :K] / R
+            M6 = jnp.eye(K, dtype=dtype) + HTH @ P6[:K]
+            P_inv12 = jnp.linalg.solve(M6.T, P6.T).T
+        else:
+            # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior
+            # inverse via the closed-form transport inverse (see above);
+            # the single remaining 23x23 Cholesky solves only the K
+            # columns the gain needs.  Symmetrise — f32 transport
+            # products drift.
+            Ti = _transport_inv(T)
+            S_inv = R * (Ti.T @ Pp_inv @ Ti)
+            S_inv = 0.5 * (S_inv + S_inv.T)
+            A = S_inv.at[:K, :K].add(HTH)
+            # A is SPD (S_inv SPD + HTH PSD) — Cholesky beats LU here
+            P_inv12 = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(A), True), eyeP[:, :K]
+            )  # (23, K) = A^-1[:, :K]
         K_h = P_inv12 @ HTh
         K_x = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :K].set(
             P_inv12 @ HTH

@@ -124,51 +124,73 @@ def propagate(
     from the last IMU sample to scan_end_t (clamped non-negative; the
     reference's `note*(pcl_end-imu_end)` always steps forward by the
     absolute gap, IMU_Processing.hpp:324-327, which we tighten).
+
+    The mean chain is PARALLEL, not a lax.scan: within one scan the
+    biases/extrinsics/gravity are constants of the integration, so the
+    Euler chain reassociates exactly —
+      R_i   = R_0 ∘ Exp(ω_0 dt_0) ∘ ... ∘ Exp(ω_{i-1} dt_{i-1})
+              (associative prefix product of the per-interval increments)
+      v_i   = v_0 + Σ_{j<i} (R_j a_j + g) dt_j        (prefix sum)
+      p_i   = p_0 + Σ_{j<i} v_j dt_j                   (prefix sum)
+    — the same floats as the serial chain up to reassociation rounding
+    and one deferred quaternion normalize.  The serial form cost
+    ~2.3 ms/scan on v5e (M-1 = 15 steps × ~30 tiny latency-bound ops);
+    the parallel form is ~10 batched kernels of depth log2(M).
     """
     M = batch.t.shape[0]
+    dtype = batch.acc.dtype
     g_scale = s2m.GRAVITY / jnp.maximum(acc_norm, 1e-6)
 
-    def step(carry, inp):
-        # mean-only serial chain — the 23x23 covariance algebra is NOT
-        # in the scan: per-sample F/F_w are built batched afterwards and
-        # composed with an associative scan (predict_jacobians docstring;
-        # the serial small-matrix chain cost ~1.6 ms/scan on v5e, the
-        # split form ~half that)
-        x, acc_w_prev, gyr_b_prev = carry
-        acc_h, acc_t, gyr_h, gyr_t, t_h, t_t, ok = inp
-        acc_avr = 0.5 * (acc_h + acc_t) * g_scale
-        gyr_avr = 0.5 * (gyr_h + gyr_t)
-        t0 = jnp.maximum(t_h, last_scan_end_t)
-        # padding rows carry t = inf; keep the arithmetic NaN-free
-        tt_safe = jnp.where(ok, t_t, 0.0)
-        t0_safe = jnp.where(ok, t0, 0.0)
-        dt = jnp.where(ok & (tt_safe > t0_safe), tt_safe - t0_safe, 0.0)
-        x2 = predict_mean(x, acc_avr, gyr_avr, dt)
-        # masked (padding) steps freeze the recorded rates so downstream
-        # gathers never see garbage
-        gyr_b = jnp.where(ok, gyr_avr - x2.bg, gyr_b_prev)
-        acc_w = jnp.where(
-            ok, so3.quat_rotate(x2.rot, acc_avr - x2.ba) + x2.grav, acc_w_prev
-        )
-        pose = (t_t, x2.pos, x2.vel, x2.rot, acc_w, gyr_b)
-        return (x2, acc_w, gyr_b), (pose, x, x2, acc_avr, gyr_avr, dt)
+    ok = batch.mask[1:] & batch.mask[:-1]
+    acc_all = 0.5 * (batch.acc[:-1] + batch.acc[1:]) * g_scale  # (M-1, 3)
+    gyr_all = 0.5 * (batch.gyr[:-1] + batch.gyr[1:])
+    t0 = jnp.maximum(batch.t[:-1], last_scan_end_t)
+    # padding rows carry t = inf; keep the arithmetic NaN-free
+    tt_safe = jnp.where(ok, batch.t[1:], 0.0)
+    t0_safe = jnp.where(ok, t0, 0.0)
+    dt_all = jnp.where(ok & (tt_safe > t0_safe), tt_safe - t0_safe, 0.0)
 
-    inputs = (
-        batch.acc[:-1],
-        batch.acc[1:],
-        batch.gyr[:-1],
-        batch.gyr[1:],
-        batch.t[:-1],
-        batch.t[1:],
-        batch.mask[1:] & batch.mask[:-1],
-    )
-    # partially unrolled: M-1 is small (typically 15) and each step is a
-    # handful of tiny vector ops, so loop machinery dominates; full
-    # unroll costs ~3x trace/compile time for little extra
-    (x_end, _, _), (poses, x_pre, x_post, acc_all, gyr_all, dt_all) = (
-        jax.lax.scan(step, (x, last_acc_w, last_gyr_b), inputs,
-                     unroll=4)
-    )
+    # rotation prefix: dq_i = Exp(ω_i dt_i); masked rows have dt = 0 ->
+    # identity, so the prefix holds the last valid rotation through the
+    # padded tail (same for the vel/pos cumsums below)
+    omega = gyr_all - x.bg
+    dq = so3.quat_exp(omega, scale=dt_all[:, None])
+    qpre = jax.lax.associative_scan(so3.quat_multiply, dq)
+    rot_post = so3.quat_normalize(so3.quat_multiply(x.rot[None], qpre))
+    rot_pre = jnp.concatenate([x.rot[None], rot_post[:-1]])
+
+    a_body = acc_all - x.ba
+    a_w_pre = so3.quat_rotate(rot_pre, a_body) + x.grav
+    vel_post = x.vel + jnp.cumsum(a_w_pre * dt_all[:, None], axis=0)
+    vel_pre = jnp.concatenate([x.vel[None], vel_post[:-1]])
+    pos_post = x.pos + jnp.cumsum(vel_pre * dt_all[:, None], axis=0)
+    pos_pre = jnp.concatenate([x.pos[None], pos_post[:-1]])
+
+    # recorded per-pose rates (post-state rotation, the reference records
+    # acc_s_last after the step); masked rows freeze to the LAST VALID
+    # value (mask is monotone) — downstream undistortion gathers idx+1
+    gyr_b_all = gyr_all - x.bg
+    acc_w_all = so3.quat_rotate(rot_post, a_body) + x.grav
+    n_ok = jnp.sum(ok.astype(jnp.int32))
+    last_i = jnp.maximum(n_ok - 1, 0)
+    frz_acc = jnp.where(n_ok > 0, acc_w_all[last_i], last_acc_w)
+    frz_gyr = jnp.where(n_ok > 0, gyr_b_all[last_i], last_gyr_b)
+    acc_w_rec = jnp.where(ok[:, None], acc_w_all, frz_acc)
+    gyr_b_rec = jnp.where(ok[:, None], gyr_b_all, frz_gyr)
+
+    poses = (batch.t[1:], pos_post, vel_post, rot_post, acc_w_rec,
+             gyr_b_rec)
+    x_end = x._replace(pos=pos_post[-1], rot=rot_post[-1], vel=vel_post[-1])
+
+    def bcast(v):
+        return jnp.broadcast_to(v[None], (M - 1,) + v.shape)
+
+    x_pre = State(pos=pos_pre, rot=rot_pre, off_r=bcast(x.off_r),
+                  off_t=bcast(x.off_t), vel=vel_pre, bg=bcast(x.bg),
+                  ba=bcast(x.ba), grav=bcast(x.grav))
+    x_post = State(pos=pos_post, rot=rot_post, off_r=bcast(x.off_r),
+                   off_t=bcast(x.off_t), vel=vel_post, bg=bcast(x.bg),
+                   ba=bcast(x.ba), grav=bcast(x.grav))
 
     # batched Jacobians of every step, then covariance composition:
     #   P_{i+1} = F_i P_i F_i^T + G_i,  G_i = F_w Q F_w^T
@@ -198,9 +220,8 @@ def propagate(
 
     # masked tail poses: clamp their timestamps to the last valid time so
     # searchsorted never lands on padding
-    last_t = jnp.max(jnp.where(jnp.concatenate([jnp.ones(1, bool),
-                                                inputs[6]]), t_arr, -jnp.inf))
-    valid_pose = jnp.concatenate([jnp.ones(1, bool), inputs[6]])
+    last_t = jnp.max(jnp.where(jnp.concatenate([jnp.ones(1, bool), ok]), t_arr, -jnp.inf))
+    valid_pose = jnp.concatenate([jnp.ones(1, bool), ok])
     t_arr = jnp.where(valid_pose, t_arr, jnp.inf)
 
     # final hop: propagate to scan end using the last sample's rates

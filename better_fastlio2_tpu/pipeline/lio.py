@@ -173,11 +173,11 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 if plane_cache is None
                 else plane_cache
             ),
-            fused_solve=(
+            fused_solve=(eff_fused := (
                 getattr(cfg.ikdtree, "fused_solve", True)
                 and getattr(cfg.ikdtree, "single_association", False)
                 and not mp.extrinsic_est_en
-            ),
+            )),
         )
 
         def do_update(_):
@@ -185,6 +185,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 x_prop, P_prop, measure, aux0,
                 max_iter=cfg.ikdtree.max_iteration,
                 n_cols=12 if mp.extrinsic_est_en else 6,
+                fused=eff_fused,
             )[:2]
 
         def skip_update(_):
