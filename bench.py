@@ -44,7 +44,7 @@ BASELINE_SCANS_PER_SEC = 21.62
 # is wedged — kill and respawn cheaply; after READY it gets the full
 # deadline for compiles + the run.
 READY_DEADLINE_S = 150
-CHILD_DEADLINE_S = 720  # healthy runs finish in ~6 min incl. compiles
+CHILD_DEADLINE_S = 1200  # healthy runs ~6 min; degraded-tunnel compiles 2-3x
 ATTEMPTS = 5
 
 
@@ -78,12 +78,20 @@ def _watchdog_main():
             print(f"bench child wedged pre-READY (attempt {attempt + 1}),"
                   " respawning", file=sys.stderr)
             continue
-        deadline = time.time() + CHILD_DEADLINE_S
+        # no-progress deadline: the child heartbeats ("# ..." lines) at
+        # every phase; a long silence means the tunnel wedged.  The
+        # window must cover a whole program compile over a DEGRADED
+        # tunnel (observed >4 min) — a truly wedged child just waits the
+        # extra minutes once.
+        total_deadline = time.time() + CHILD_DEADLINE_S
         result = None
         while True:
+            deadline = min(time.time() + 480.0, total_deadline)
             ln = _read_line(p.stdout, deadline)
             if ln == "timeout" or ln is None:
                 break
+            if ln.startswith("#"):
+                print(ln.strip(), file=sys.stderr)
             if ln.startswith("{"):
                 result = ln.strip()
         p.kill()
@@ -181,6 +189,7 @@ def main():
         traj=Trajectory(t_still=0.7, speed=3.0),
     ))
 
+    print("# sequence ready", flush=True)
     # quantized wire format: 2 transfers/window instead of ~10 (the
     # transport pays ~20-25 ms latency per transfer at ~35 MB/s)
     # unroll=window: ~0.5 ms/scan less lax.scan loop overhead (the
@@ -196,12 +205,15 @@ def main():
     for i, g in enumerate(groups):
         if pipe.inited and i >= warmup and (i - warmup) % window == 0:
             marks.append(time.perf_counter())
+        if i % 40 == 0:
+            print(f"# scan {i}", flush=True)  # watchdog heartbeat
         pipe.process_scan(
             g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
             g["scan_beg_abs"], g["scan_end_t"],
         )
     pipe.flush()  # drains the trailing window readback — counted
     marks.append(time.perf_counter())
+    print("# timed run done", flush=True)
 
     # a benchmark of a diverged filter is meaningless — refuse to report
     traj = np.array(pipe.trajectory)

@@ -261,6 +261,33 @@ def transform_to_world(s: State, pts_body: jax.Array) -> jax.Array:
     return so3.quat_rotate(s.rot, p_imu) + s.pos
 
 
+def _budgeted_refresh(aux, p_world, ijk_now, pts_valid, search_rows,
+                      refresh_budget: int, N: int, extra_update=None):
+    """Shared lazy re-association body (see make_measure_fn docstring):
+    rows whose voxel moved since the full association pass get fresh
+    planes, compacted under `refresh_budget` (ascending-index selection,
+    deterministic).  `extra_update(aux, safe, act, dst, n_s, d_s, ok_s)`
+    lets the fused path refresh its SoA columns in the same pass."""
+    need = (pts_valid & aux.searched
+            & jnp.any(ijk_now != aux.assoc_ijk, axis=-1))
+    sel = jnp.nonzero(need, size=refresh_budget,
+                      fill_value=N)[0].astype(jnp.int32)
+    act = sel < N
+    safe = jnp.minimum(sel, N - 1)
+    n_s, d_s, ok_s = search_rows(p_world[safe], act)
+    dst = jnp.where(act, sel, N)
+    aux = aux._replace(
+        normal=aux.normal.at[dst].set(n_s, mode="drop"),
+        d=aux.d.at[dst].set(d_s, mode="drop"),
+        fit_ok=aux.fit_ok.at[dst].set(ok_s, mode="drop"),
+        assoc_ijk=aux.assoc_ijk.at[dst].set(ijk_now[safe], mode="drop"),
+        refreshed=jnp.array(True),
+    )
+    if extra_update is not None:
+        aux = extra_update(aux, safe, act, dst, n_s, d_s, ok_s)
+    return aux
+
+
 def make_measure_fn(
     m: voxel_hash.VoxelHashMap,
     pts_body: jax.Array,
@@ -365,24 +392,11 @@ def make_measure_fn(
             n_val = jnp.sum(pts_valid.astype(jnp.int32))
             fire = n_need * 20 > n_val  # > 5% of valid rows
 
-            def do_refresh(aux):
-                sel = jnp.nonzero(need, size=refresh_budget,
-                                  fill_value=N)[0].astype(jnp.int32)
-                act = sel < N
-                safe = jnp.minimum(sel, N - 1)
-                n_s, d_s, ok_s = search_rows(p_world[safe], act)
-                dst = jnp.where(act, sel, N)
-                return aux._replace(
-                    normal=aux.normal.at[dst].set(n_s, mode="drop"),
-                    d=aux.d.at[dst].set(d_s, mode="drop"),
-                    fit_ok=aux.fit_ok.at[dst].set(ok_s, mode="drop"),
-                    assoc_ijk=aux.assoc_ijk.at[dst].set(
-                        ijk_now[safe], mode="drop"),
-                    refreshed=jnp.array(True),
-                )
-
             aux = jax.lax.cond(
-                converged & ~aux.refreshed & fire, do_refresh,
+                converged & ~aux.refreshed & fire,
+                lambda a: _budgeted_refresh(
+                    a, p_world, ijk_now, pts_valid, search_rows,
+                    refresh_budget, N),
                 lambda a: a, aux)
 
         n, d, plane_ok = aux.normal, aux.d, aux.fit_ok
@@ -432,7 +446,10 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
 
     N = pts_body.shape[0]
     dtype = pts_body.dtype
-    use_kernel = jax.default_backend() != "cpu"
+    # Pallas-TPU lowering only on TPU-family backends ('axon' is the
+    # remote-TPU plugin); every other backend (cpu, gpu, ...) runs the
+    # identical-math jnp reference
+    use_kernel = jax.default_backend() in ("tpu", "axon")
     invb = 0.9 / jnp.sqrt(
         jnp.maximum(jnp.linalg.norm(pts_body, axis=-1), 1e-8))
     vs = jnp.asarray(m.voxel_size, dtype)
@@ -471,27 +488,19 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
             def do_refresh(aux):
                 p_world = transform_to_world(s, pts_body)
                 ijk_now = voxel_hash._voxel_of(p_world, m.voxel_size)
-                need = pts_valid & jnp.any(
-                    ijk_now != aux.assoc_ijk, axis=-1)
-                sel = jnp.nonzero(need, size=refresh_budget,
-                                  fill_value=N)[0].astype(jnp.int32)
-                act = sel < N
-                safe = jnp.minimum(sel, N - 1)
-                n_s, d_s, ok_s = search_rows(p_world[safe], act)
-                p_imu_s = (so3.quat_rotate(s.off_r, pts_body[safe])
-                           + s.off_t)
-                cols = pk.pack_soa(p_imu_s, n_s, d_s, invb[safe], ok_s,
-                                   ijk_now[safe], pts_valid[safe] & act)
-                dst = jnp.where(act, sel, N)
-                return aux._replace(
-                    normal=aux.normal.at[dst].set(n_s, mode="drop"),
-                    d=aux.d.at[dst].set(d_s, mode="drop"),
-                    fit_ok=aux.fit_ok.at[dst].set(ok_s, mode="drop"),
-                    assoc_ijk=aux.assoc_ijk.at[dst].set(
-                        ijk_now[safe], mode="drop"),
-                    refreshed=jnp.array(True),
-                    soa=aux.soa.at[:, dst].set(cols, mode="drop"),
-                )
+
+                def update_soa(aux, safe, act, dst, n_s, d_s, ok_s):
+                    p_imu_s = (so3.quat_rotate(s.off_r, pts_body[safe])
+                               + s.off_t)
+                    cols = pk.pack_soa(p_imu_s, n_s, d_s, invb[safe],
+                                       ok_s, ijk_now[safe],
+                                       pts_valid[safe] & act)
+                    return aux._replace(
+                        soa=aux.soa.at[:, dst].set(cols, mode="drop"))
+
+                return _budgeted_refresh(
+                    aux, p_world, ijk_now, pts_valid, search_rows,
+                    refresh_budget, N, extra_update=update_soa)
 
             aux = jax.lax.cond(fire, do_refresh, lambda a: a, aux)
             G, n_moved = jax.lax.cond(

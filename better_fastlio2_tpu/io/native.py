@@ -27,15 +27,36 @@ _tried = False
 
 
 def _build() -> bool:
+    # link to a temp file + atomic replace: never truncate a .so another
+    # process (or a previously-dlopened handle in THIS process) has
+    # mapped — glibc dedups dlopen by inode, so an in-place relink both
+    # fails to refresh the handle and risks corrupting mapped pages
+    tmp = _LIB_PATH + ".tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             _SRC, "-o", _LIB_PATH],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _is_stale() -> bool:
+    """Pre-dlopen staleness check: the v2 wire symbol must appear in the
+    .so's symbol strings (checked on the raw bytes — loading first and
+    rebuilding after would hand back the stale inode-deduped handle)."""
+    try:
+        with open(_LIB_PATH, "rb") as f:
+            return b"pack_quant2" not in f.read()
+    except OSError:
+        return True
 
 
 def _load():
@@ -43,9 +64,10 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC):
+    if os.path.exists(_SRC) and (
+            not os.path.exists(_LIB_PATH) or _is_stale()):
         _build()
-    if os.path.exists(_LIB_PATH):
+    if os.path.exists(_LIB_PATH) and not _is_stale():
         lib = ctypes.CDLL(_LIB_PATH)
         c_i64, c_f32p, c_f64p = ctypes.c_int64, np.ctypeslib.ndpointer(np.float32), np.ctypeslib.ndpointer(np.float64)
         lib.decode_xyzi.restype = c_i64
@@ -73,8 +95,8 @@ def _load():
             np.ctypeslib.ndpointer(np.int64), c_f64p, c_i64, c_f32p,
         ]
         try:
-            lib.pack_quant.restype = None
-            lib.pack_quant.argtypes = [
+            lib.pack_quant2.restype = None
+            lib.pack_quant2.argtypes = [
                 c_f32p, c_f32p, c_i64, ctypes.c_double, ctypes.c_double,
                 np.ctypeslib.ndpointer(np.uint16),
             ]
@@ -200,15 +222,15 @@ def voxel_downsample_host(pts: np.ndarray, voxel: float) -> np.ndarray:
 def pack_quant_bulk(pts: np.ndarray, t: np.ndarray, pos_scale: float,
                     dur: float) -> np.ndarray | None:
     """Native bulk-row packer for the quantized wire format
-    (pipeline/lio.QuantWindowInputs); None if the library lacks it
-    (caller falls back to numpy)."""
+    (pipeline/lio.QuantWindowInputs, v2: uint8 time pairs); None if the
+    library lacks it (caller falls back to numpy)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "pack_quant") or \
-            lib.pack_quant.argtypes is None:
+    if lib is None or not hasattr(lib, "pack_quant2") or \
+            lib.pack_quant2.argtypes is None:
         return None
     pts = np.ascontiguousarray(pts, np.float32)
     t = np.ascontiguousarray(t, np.float32)
     n_raw = len(t)
-    bulk = np.empty(4 * n_raw, np.uint16)
-    lib.pack_quant(pts, t, n_raw, float(pos_scale), float(dur), bulk)
+    bulk = np.empty(3 * n_raw + n_raw // 2, np.uint16)
+    lib.pack_quant2(pts, t, n_raw, float(pos_scale), float(dur), bulk)
     return bulk

@@ -158,8 +158,16 @@ def fused_normal_eqs(
     from jax.experimental.pallas import tpu as pltpu
 
     N = soa.shape[1]
+    # largest divisor of N <= 4*TILE — any N works (non-power-of-two
+    # shapes get a smaller, possibly lane-padded tile; correctness never
+    # depends on the tile choice).  Awkward N (huge prime factors) fall
+    # back to a single whole-array tile: (16, N) f32 is ~1 MB at the
+    # usual n_ds = 16k, comfortably inside VMEM.
     tile = min(TILE * 4, N)
-    assert N % tile == 0, (N, tile)
+    while N % tile:
+        tile -= 1
+    if tile < 1024 and N * SOA_CH * 4 <= 8 << 20:
+        tile = N
     grid = (N // tile,)
     G, mv = pl.pallas_call(
         _neq_kernel,

@@ -67,6 +67,7 @@ class AsyncBackend:
         self.iters = iters
         self.cg_iters = cg_iters
         self._pending = None
+        self._tag = None
 
         from ..backend.posegraph import optimize
 
@@ -78,18 +79,23 @@ class AsyncBackend:
     def busy(self) -> bool:
         return self._pending is not None
 
-    def submit(self, graph) -> bool:
+    def submit(self, graph, tag=None) -> bool:
         """Enqueue optimization of a graph snapshot; returns False if an
         optimization is already in flight (the reference's thread also
-        processes one loop batch at a time)."""
+        processes one loop batch at a time).  `tag` (e.g. the keyframe
+        count at snapshot time) is handed back with the result so the
+        consumer can apply a STALE result correctly — keyframes created
+        after the snapshot are not in the optimized array."""
         if self._pending is not None:
             return False
         g_dev = jax.device_put(graph, self.device)
         self._pending = self._opt(g_dev)
+        self._tag = tag
         return True
 
     def poll(self):
-        """Returns optimized poses (np.ndarray) once ready, else None."""
+        """Returns (optimized poses (np.ndarray), tag) once ready, else
+        None."""
         if self._pending is None:
             return None
         try:
@@ -99,13 +105,14 @@ class AsyncBackend:
         if not ready:
             return None
         out = np.asarray(self._pending)
-        self._pending = None
-        return out
+        tag, self._pending, self._tag = self._tag, None, None
+        return out, tag
 
     def wait(self):
-        """Block for the in-flight optimization (shutdown/flush path)."""
+        """Block for the in-flight optimization (shutdown/flush path);
+        returns (poses, tag) or None."""
         if self._pending is None:
             return None
         out = np.asarray(self._pending)
-        self._pending = None
-        return out
+        tag, self._pending, self._tag = self._tag, None, None
+        return out, tag

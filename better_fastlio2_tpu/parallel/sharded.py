@@ -580,7 +580,8 @@ def sharded_slab_migrate(mesh: Mesh, axis: str = "dp", slab_log2: int = 4,
             jnp.sum((send.astype(jnp.int32))) - n_sent, axis)
         n_lost = jax.lax.psum(
             jnp.sum((r_act & (slots < 0)).astype(jnp.int32)), axis)
-        row_bytes = 4 + 4 + m_loc.bucket * 3 * 4 + (40 if has_mom else 0)
+        # coords (3 int32) + count (1 int32) + bucket points + moments
+        row_bytes = 12 + 4 + m_loc.bucket * 3 * 4 + (40 if has_mom else 0)
         bytes_moved = jax.lax.psum(n_sent * row_bytes, axis)
         return (jax.tree_util.tree_map(lambda a: a[None], m2), n_left,
                 bytes_moved, n_lost)

@@ -306,17 +306,22 @@ class WindowInputs(NamedTuple):
 # Quantized wire format for the windowed step: the remote-TPU transport
 # costs ~20-25 ms LATENCY per host->device transfer and ~35 MB/s, so the
 # window's inputs ship as TWO buffers (tools/profile_micro3.py):
-#   bulk (W, 4*n_raw) uint16 — cols [0,3n): point coords as int16 bits,
-#        quantized by POS_SCALE (lidar frame, |p| < ~120 m -> 3.7 mm
-#        steps, below lidar noise); cols [3n,4n): per-point time as a
-#        uint16 fraction of the scan duration.
+#   bulk (W, 3.5*n_raw) uint16 — cols [0,3n): point coords as int16
+#        bits, quantized by POS_SCALE (lidar frame, |p| < ~120 m ->
+#        3.7 mm steps, below lidar noise); cols [3n,3.5n): per-point
+#        time as uint8 fractions of the scan duration, PACKED IN PAIRS
+#        (lo|hi<<8).  0.39 ms time steps at 10 Hz: the undistortion pose
+#        moves ~1 mm / ~0.01 deg per step at urban dynamics — below the
+#        position quantization, for 12.5% fewer wire bytes (the tunnel's
+#        ~35 MB/s is within ~20% of the steady compute rate, so wire
+#        bytes bound the wall clock whenever the link dips).
 #   meta (W, 8*m_imu + 4) f32 — imu acc|gyr|t|mask rows then
 #        [n_points, last_end_rel, scan_end_t, scan_valid].
 POS_SCALE = 120.0 / 32767.0  # ~3.66 mm/step, +-120 m range
 
 
 class QuantWindowInputs(NamedTuple):
-    bulk: jax.Array  # (W, 4*n_raw) uint16
+    bulk: jax.Array  # (W, 3.5*n_raw) uint16
     meta: jax.Array  # (W, 8*m_imu + 4) f32 — padded window tail entries skip
 
 
@@ -375,10 +380,11 @@ def make_window_step_fn(cfg: LIOConfig, window: int,
             scan_end_t = meta[8 * m_imu + 2]
             scan_valid = meta[8 * m_imu + 3] > 0.5
             pts = qp * jnp.asarray(POS_SCALE, dtype)
-            pt_t = (
-                bulk[3 * n_raw: 4 * n_raw].astype(dtype)
-                * (scan_end_t / 65535.0)
-            )
+            tw = bulk[3 * n_raw: 3 * n_raw + n_raw // 2]
+            t8 = jnp.stack(
+                [tw & jnp.uint16(0xFF), tw >> 8], axis=1
+            ).reshape(n_raw)
+            pt_t = t8.astype(dtype) * (scan_end_t / 255.0)
             pt_valid = jnp.arange(n_raw) < n
             im = meta[: 8 * m_imu].reshape(m_imu, 8)
             imu_t = jnp.where(im[:, 7] > 0.5, im[:, 6], jnp.inf)
@@ -429,7 +435,7 @@ class LIOPipeline:
         and 2 transfers per window instead of ~10 — the remote-TPU
         transport pays ~20-25 ms latency PER transfer at ~35 MB/s, which
         otherwise rivals the compute itself.  Quantization steps are
-        3.7 mm (points) / scan_duration/65535 (times) — below sensor
+        3.7 mm (points) / scan_duration/255 (times, uint8 pairs) — below sensor
         noise.
 
         readback_depth=D > 1 (pipelined window mode) keeps up to D
@@ -728,13 +734,12 @@ class LIOPipeline:
 
         bulk = pack_quant_bulk(P, T, POS_SCALE, dur)  # C++ fast path
         if bulk is None:
-            bulk = np.zeros(4 * n_raw, np.uint16)
+            bulk = np.zeros(3 * n_raw + n_raw // 2, np.uint16)
             qp = np.clip(np.round(P / POS_SCALE), -32767,
                          32767).astype(np.int16)
             bulk[: 3 * n_raw] = qp.reshape(-1).view(np.uint16)
-            bulk[3 * n_raw:] = np.clip(
-                np.round(T / dur * 65535.0), 0, 65535
-            ).astype(np.uint16)
+            t8 = np.clip(np.round(T / dur * 255.0), 0, 255).astype(np.uint16)
+            bulk[3 * n_raw:] = t8[0::2] | (t8[1::2] << 8)
         meta = np.zeros(8 * m_imu + 4, np.float32)
         im = meta[: 8 * m_imu].reshape(m_imu, 8)
         im[:, 0:3] = A

@@ -195,11 +195,18 @@ class SLAMPipeline:
             return None
         pose7 = np.concatenate([out["quat"], out["pos"]]).astype(np.float64)
 
-        # harvest a finished async optimization (loop-thread handoff analog)
+        # harvest a finished async optimization (loop-thread handoff
+        # analog).  The result is applied with n = the keyframe count AT
+        # SNAPSHOT time: keyframes created while the optimization was in
+        # flight are not in the optimized array (their graph rows were
+        # still identity-initialized) and must be shifted by the last
+        # optimized keyframe's correction instead.
         if self._async is not None:
-            poses = self._async.poll()
-            if poses is not None:
-                self._apply_correction(np.asarray(poses, np.float64))
+            res = self._async.poll()
+            if res is not None:
+                poses, n_snap = res
+                self._apply_correction(np.asarray(poses, np.float64),
+                                       n=n_snap)
 
         if self._is_keyframe(pose7):
             self._add_keyframe(pose7, pts, scan_beg_abs + scan_end_t)
@@ -219,7 +226,8 @@ class SLAMPipeline:
                        and len(self.keyframes) % self.loop_every == 0)
             if closed or gps_due:
                 if self._async is not None:
-                    self._async.submit(self.graph)
+                    self._async.submit(self.graph,
+                                       tag=len(self.keyframes))
                 else:
                     self._optimize_and_correct()
         out["n_keyframes"] = len(self.keyframes)
@@ -457,6 +465,16 @@ class SLAMPipeline:
     # -- persistence --------------------------------------------------------
     def save_session(self, root: str):
         from ..io.session import SessionWriter
+
+        # drain an in-flight async optimization so the saved poses carry
+        # the last correction (reference: the save service runs after the
+        # loop thread's final isam.update)
+        if self._async is not None and self._async.busy:
+            res = self._async.wait()
+            if res is not None:
+                poses, n_snap = res
+                self._apply_correction(np.asarray(poses, np.float64),
+                                       n=n_snap)
 
         w = SessionWriter(root=root)
         for kf in self.keyframes:

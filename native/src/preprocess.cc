@@ -236,4 +236,33 @@ void pack_quant(const float* pts, const float* t, int64_t n_raw,
   }
 }
 
+// v2 wire format: per-point times as uint8 scan-duration fractions,
+// packed in pairs (lo | hi << 8) — bulk is (3.5 * n_raw) uint16.
+// 0.39 ms steps at 10 Hz, below the position quantization's effect on
+// the undistortion; 12.5% fewer wire bytes (the remote link is within
+// ~20% of the compute rate).  n_raw must be even (shape pads are powers
+// of two).
+void pack_quant2(const float* pts, const float* t, int64_t n_raw,
+                 double pos_scale, double dur, uint16_t* bulk) {
+  const double inv_ps = 1.0 / pos_scale;
+  const double inv_dur = 255.0 / (dur > 1e-9 ? dur : 1e-9);
+  int16_t* pb = reinterpret_cast<int16_t*>(bulk);
+  for (int64_t i = 0; i < n_raw * 3; ++i) {
+    double q = std::nearbyint((double)pts[i] * inv_ps);
+    if (q > 32767.0) q = 32767.0;
+    if (q < -32767.0) q = -32767.0;
+    pb[i] = (int16_t)q;
+  }
+  uint16_t* tb = bulk + 3 * n_raw;
+  for (int64_t i = 0; i < n_raw / 2; ++i) {
+    double qa = std::nearbyint((double)t[2 * i] * inv_dur);
+    double qb = std::nearbyint((double)t[2 * i + 1] * inv_dur);
+    if (qa > 255.0) qa = 255.0;
+    if (qa < 0.0) qa = 0.0;
+    if (qb > 255.0) qb = 255.0;
+    if (qb < 0.0) qb = 0.0;
+    tb[i] = (uint16_t)((uint16_t)qa | ((uint16_t)qb << 8));
+  }
+}
+
 }  // extern "C"

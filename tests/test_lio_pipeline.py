@@ -154,11 +154,21 @@ def test_native_pack_quant_matches_numpy():
     b = native.pack_quant_bulk(P, T, POS_SCALE, 0.1)
     if b is None:
         pytest.skip("native library unavailable")
-    ref = np.zeros(4 * 2048, np.uint16)
+    n = 2048
+    ref = np.zeros(3 * n + n // 2, np.uint16)
     qp = np.clip(np.round(P / POS_SCALE), -32767, 32767).astype(np.int16)
-    ref[: 3 * 2048] = qp.reshape(-1).view(np.uint16)
-    ref[3 * 2048:] = np.clip(np.round(T / 0.1 * 65535.0), 0,
-                             65535).astype(np.uint16)
-    diff = np.abs(b.astype(np.int64) - ref.astype(np.int64))
-    assert diff.max() <= 1
-    assert (diff != 0).mean() < 0.01
+    ref[: 3 * n] = qp.reshape(-1).view(np.uint16)
+    t8 = np.clip(np.round(T / 0.1 * 255.0), 0, 255).astype(np.uint16)
+    ref[3 * n:] = t8[0::2] | (t8[1::2] << 8)
+    assert b.shape == ref.shape
+    # positions: within one step (round-half ties)
+    dp = np.abs(b[: 3 * n].view(np.int16).astype(np.int64)
+                - ref[: 3 * n].view(np.int16).astype(np.int64))
+    assert dp.max() <= 1
+    assert (dp != 0).mean() < 0.01
+    # times: compare unpacked uint8 halves, within one step
+    bt = np.stack([b[3 * n:] & 0xFF, b[3 * n:] >> 8], 1).reshape(-1)
+    rt = np.stack([ref[3 * n:] & 0xFF, ref[3 * n:] >> 8], 1).reshape(-1)
+    dt = np.abs(bt.astype(np.int64) - rt.astype(np.int64))
+    assert dt.max() <= 1
+    assert (dt != 0).mean() < 0.01
