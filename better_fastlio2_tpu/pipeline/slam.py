@@ -429,6 +429,8 @@ class SLAMPipeline:
             )
         # live filter pose: apply the same drift correction
         ls = self.lio.ls
+        if ls is None:  # front end not initialised (offline correction)
+            return
         cur = jnp.concatenate(
             [ls.x.rot.astype(jnp.float64), ls.x.pos.astype(jnp.float64)]
         )

@@ -233,3 +233,55 @@ def test_map_rebuild_on_loop_correction():
         if out is not None:
             errs.append(out["pos"])
     assert np.all(np.isfinite(np.asarray(errs)))
+
+
+def test_async_correction_applies_at_snapshot_count(rng):
+    """A keyframe created while an async optimization is in flight must
+    NOT be overwritten by its identity-initialized graph row — the
+    correction applies with n = the keyframe count at snapshot time and
+    later keyframes are shifted by the last optimized correction."""
+    import better_fastlio2_tpu.backend.posegraph as pg
+    from better_fastlio2_tpu.parallel.distributed import AsyncBackend
+
+    world = room_cloud(rng)
+    pipe = SLAMPipeline(cfg_small(), max_keyframes=32, loop_every=1)
+    pipe._async = AsyncBackend()
+    dtype = jnp.float32
+    for k in range(4):
+        pose = yaw_pose(0.0, [float(k), 0, 0])
+        pipe.keyframes.append(make_kf(k, float(k), pose, world, rng))
+        pipe.graph = pg.set_pose(pipe.graph, k, jnp.asarray(pose, dtype))
+        if k == 0:
+            pipe.graph = pg.add_prior(pipe.graph, 0,
+                                      jnp.asarray(pose, dtype), 1e-6, 1e-6)
+        else:
+            rel = se3.between(
+                jnp.asarray(pipe.keyframes[k - 1].pose),
+                jnp.asarray(pipe.keyframes[k].pose)).astype(dtype)
+            pipe.graph = pg.add_between(pipe.graph, k - 1, k, rel,
+                                        1e-2, 1e-3)
+
+    n_snap = len(pipe.keyframes)
+    assert pipe._async.submit(pipe.graph, tag=n_snap)
+
+    # a keyframe arrives while the optimization is in flight — its graph
+    # row is still make_graph's identity init
+    late_pose = yaw_pose(0.0, [4.0, 0, 0])
+    pipe.keyframes.append(make_kf(4, 4.0, late_pose, world, rng))
+
+    import time as _time
+    res = None
+    for _ in range(200):
+        res = pipe._async.poll()
+        if res is not None:
+            break
+        _time.sleep(0.05)
+    assert res is not None
+    poses, tag = res
+    assert tag == n_snap
+    pipe._apply_correction(np.asarray(poses, np.float64), n=tag)
+
+    # the late keyframe keeps (a shifted version of) its real pose —
+    # never the identity row of the unoptimized graph slot
+    assert np.linalg.norm(pipe.keyframes[4].pose[4:7] - late_pose[4:7]) < 0.5
+    assert abs(pipe.keyframes[4].pose[4] - 4.0) < 0.5
