@@ -48,20 +48,41 @@ CHILD_DEADLINE_S = 1200  # healthy runs ~6 min; degraded-tunnel compiles 2-3x
 ATTEMPTS = 5
 
 
-def _read_line(f, deadline):
-    """One line from f, or None on EOF, or 'timeout' past deadline."""
-    import selectors
+class _LineReader:
+    """Line reader over a pipe's raw fd.  select()s on the fd and reads
+    whole chunks with os.read, so lines beyond the first in one pipe
+    chunk are served from the internal buffer immediately instead of
+    sitting in a BufferedReader while select() waits on the fd (which
+    used to delay heartbeats until the child's next write)."""
 
-    sel = selectors.DefaultSelector()
-    sel.register(f, selectors.EVENT_READ)
-    try:
-        while time.time() < deadline:
-            if sel.select(timeout=1.0):
-                ln = f.readline()
-                return None if ln == b"" else ln.decode()
-        return "timeout"
-    finally:
-        sel.close()
+    def __init__(self, f):
+        self._fd = f.fileno()
+        self._buf = b""
+        self._eof = False
+
+    def read_line(self, deadline):
+        """One line, or None on EOF, or 'timeout' past deadline."""
+        import select as _select
+
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                ln, self._buf = self._buf[: nl + 1], self._buf[nl + 1:]
+                return ln.decode()
+            if self._eof:
+                if self._buf:
+                    ln, self._buf = self._buf, b""
+                    return ln.decode()
+                return None
+            if time.time() >= deadline:
+                return "timeout"
+            r, _, _ = _select.select([self._fd], [], [], 1.0)
+            if r:
+                chunk = os.read(self._fd, 65536)
+                if chunk == b"":
+                    self._eof = True
+                else:
+                    self._buf += chunk
 
 
 def _watchdog_main():
@@ -74,7 +95,8 @@ def _watchdog_main():
             [sys.executable, os.path.abspath(__file__), "--child"],
             stdout=subprocess.PIPE, stderr=sys.stderr,
         )
-        ln = _read_line(p.stdout, time.time() + READY_DEADLINE_S)
+        rdr = _LineReader(p.stdout)
+        ln = rdr.read_line(time.time() + READY_DEADLINE_S)
         if ln == "timeout" or ln is None:
             p.kill()
             p.wait()
@@ -90,7 +112,7 @@ def _watchdog_main():
         result = None
         while True:
             deadline = min(time.time() + 480.0, total_deadline)
-            ln = _read_line(p.stdout, deadline)
+            ln = rdr.read_line(deadline)
             if ln == "timeout" or ln is None:
                 break
             if ln.startswith("#"):
@@ -184,15 +206,22 @@ def main():
         extrinsic_est_en=False,
     )
     # single_association: one kNN pass per scan instead of the reference's
-    # re-search after convergence (esekfom.hpp:1846-1851) — measured
-    # ATE-neutral on this workload (0.2906 vs 0.2895 m) and saves a full
-    # association (~13 ms); the default config keeps reference semantics
+    # re-search after convergence (esekfom.hpp:1846-1851), with a lazy
+    # budgeted refresh of rows whose voxel moved — measured on the real
+    # chip at ATE 0.029 m / end-error 0.014 m on this exact config
+    # (accuracy parity with the C++ baseline's 0.015 m end error, see the
+    # gate below); the default config keeps reference semantics
     cfg.ikdtree = IkdtreeConfig(max_iteration=4, filter_size_map_min=0.5,
                                 single_association=True,
                                 # moment-cache planes after a 5-NN warmup:
                                 # removes the candidate-point gather + top-k
                                 # from the steady-state association
-                                plane_cache=True, plane_cache_warmup=16)
+                                plane_cache=True, plane_cache_warmup=16,
+                                # dense tag-validated moment table: ONE
+                                # row-gather association, hash-free
+                                # steady insert (torus-wrap forgetting
+                                # replaces the FoV crop)
+                                mom_dense=True)
 
     n_scans = 160  # 15 timed windows past warmup — steadier median
     window = 8  # scans per device program (amortises the ~30 ms
@@ -221,11 +250,14 @@ def main():
     # scans 17-24 — so timing must start after that)
     warmup = 5 * window
     marks = []  # wall clock at every window boundary past warmup
+    gt_pos = []  # ground truth for every scan the pipeline processes
     for i, g in enumerate(groups):
         if pipe.inited and i >= warmup and (i - warmup) % window == 0:
             marks.append(time.perf_counter())
         if i % 40 == 0:
             print(f"# scan {i}", flush=True)  # watchdog heartbeat
+        if pipe.inited:
+            gt_pos.append(g["gt_pos"])
         pipe.process_scan(
             g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
             g["scan_beg_abs"], g["scan_end_t"],
@@ -238,10 +270,26 @@ def main():
     traj = np.array(pipe.trajectory)
     if not np.all(np.isfinite(traj)):
         raise RuntimeError("trajectory went non-finite during bench")
-    drift = np.linalg.norm(traj[-1][:3]) if len(traj) else 0.0
-    if not (0.1 < drift < 100.0):
+
+    # accuracy gate: the throughput number is only valid if the filter
+    # tracked ground truth.  Estimated and GT positions are compared as
+    # displacements from the first tracked scan (the filter's world frame
+    # is gravity-aligned at the init pose; the synthetic GT starts with
+    # identity yaw, so the frames agree up to the initial offset).
+    # Measured on the real chip (round-2 audit + this harness): ATE
+    # 0.029 m / end-error 0.014 m, vs the C++ reference-equivalent's
+    # 0.015 m end-error on the same sequence — gate at 2x the baseline.
+    ngt = min(len(traj), len(gt_pos))
+    est = traj[:ngt, :3] - traj[0, :3]
+    gt = np.asarray(gt_pos[:ngt]) - np.asarray(gt_pos[0])
+    err = np.linalg.norm(est - gt, axis=1)
+    ate_m = float(np.sqrt(np.mean(err ** 2)))
+    end_err_m = float(err[-1])
+    BASELINE_END_ERR_M = 0.015  # measured, tools/bench_cpu_ref.py
+    if end_err_m > 2.0 * BASELINE_END_ERR_M or ate_m > 0.15:
         raise RuntimeError(
-            f"implausible end position |p|={drift:.3f} m — filter broken")
+            f"accuracy gate failed: end_err {end_err_m:.3f} m "
+            f"(gate {2.0 * BASELINE_END_ERR_M:.3f}), ATE {ate_m:.3f} m")
 
     # per-window durations; the median discards the multi-second stalls
     # the remote transport occasionally injects mid-run (observed ±15%
@@ -291,6 +339,9 @@ def main():
                 "baseline_scans_per_sec": BASELINE_SCANS_PER_SEC,
                 "device_ms_per_scan": round(device_ms, 2),
                 "wall_ms_per_scan": round(1e3 / scans_per_sec, 2),
+                "ate_m": round(ate_m, 4),
+                "end_err_m": round(end_err_m, 4),
+                "baseline_end_err_m": BASELINE_END_ERR_M,
                 "window_cv": round(float(np.std(durs) / np.mean(durs)), 3),
                 "n_windows": len(durs),
             }

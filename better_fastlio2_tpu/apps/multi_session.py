@@ -239,13 +239,16 @@ class MultiSessionMerger:
         nodes within 10 m, pick the one with max information gain.
 
         exact=True composes the loop factor's Jacobians with the full-GN
-        marginal covariances (pg.dense_marginals) like the reference;
+        marginal covariances like the reference — computed by the
+        chain+loops selected-inverse (pg.selected_marginals, O(K L²))
+        so info-gain selection stays seconds-fast at thousands of
+        keyframes where the dense (6K)² inverse is intractable;
         exact=False keeps the round-1 Jacobi/H~I approximation."""
         poses = np.asarray(self.graph.poses, np.float64)
         n_act = self.nc + self.nq
         if exact:
             Sig = np.asarray(
-                pg.dense_marginals(self.graph, n_act), np.float64)
+                pg.selected_marginals(self.graph, n_act), np.float64)
         else:
             Sig = self._jacobi_marginals()
         Sy = np.eye(6)

@@ -81,6 +81,17 @@ class IkdtreeConfig:
     # single_association is on and extrinsic estimation is off; ignored
     # (jnp path) otherwise
     fused_solve: bool = True
+    # steady-state DENSE moment table (voxel_hash.insert_dense_moments):
+    # after the plane-cache warmup, moments move into a tag-validated
+    # table addressed by torus coordinates — the association becomes ONE
+    # row gather per neighborhood cell and the insert stops touching the
+    # hash keys / slot index entirely.  Semantics deviation: the FoV box
+    # crop is replaced by torus-wrap forgetting (geometry one torus
+    # period away overwrites on insert; memory stays bounded by the
+    # grid).  Requires plane_cache + plane_cache_warmup > 0 +
+    # shapes.map_dense_log2; the torus must span the scan extent per
+    # axis (2*det_range <= grid_dim*voxel).
+    mom_dense: bool = False
 
 
 @dataclass
@@ -199,6 +210,12 @@ class LIOConfig:
             ("kd_step", "kd_step"),
             ("recontructKdTree", "recontruct_kdtree"),
             ("filter_size_map_min", "filter_size_map_min"),
+            ("single_association", "single_association"),
+            ("plane_cache", "plane_cache"),
+            ("plane_cache_warmup", "plane_cache_warmup"),
+            ("mom_cap", "mom_cap"),
+            ("fused_solve", "fused_solve"),
+            ("mom_dense", "mom_dense"),
         ]:
             if k_src in kd:
                 setattr(cfg.ikdtree, k_dst, kd[k_src])

@@ -359,7 +359,14 @@ def update_iterated(
             # all (the tiny serial factorizations are latency chains on
             # TPU; this is the fused-solve fast path).
             P6 = P[:, :K] / R
-            M6 = jnp.eye(K, dtype=dtype) + HTH @ P6[:K]
+            eyeK = jnp.eye(K, dtype=dtype)
+            M6 = eyeK + HTH @ P6[:K]
+            # conditioning guard (the analog of the non-fused path's
+            # 1e-9*R prior jitter): relative diagonal damping at ~1e-6 of
+            # the matrix scale — far below f32 round-off in the solve,
+            # but keeps the unsymmetrized LU bounded if P drifts
+            # near-indefinite under long f32 accumulation
+            M6 = M6 + (1e-6 / K) * jnp.sum(jnp.abs(jnp.diag(M6))) * eyeK
             P_inv12 = jnp.linalg.solve(M6.T, P6.T).T
         else:
             # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior

@@ -167,16 +167,22 @@ def propagate(
     pos_pre = jnp.concatenate([x.pos[None], pos_post[:-1]])
 
     # recorded per-pose rates (post-state rotation, the reference records
-    # acc_s_last after the step); masked rows freeze to the LAST VALID
-    # value (mask is monotone) — downstream undistortion gathers idx+1
+    # acc_s_last after the step); masked rows freeze to the PRECEDING
+    # valid value via a forward-fill (cummax of valid indices), matching
+    # the old serial scan even if a sensor dropout punches a hole
+    # mid-stream — a single global last-valid index would leak a FUTURE
+    # sample into the hole.  Rows before the first valid sample fall back
+    # to the previous scan's terminal rates.
     gyr_b_all = gyr_all - x.bg
     acc_w_all = so3.quat_rotate(rot_post, a_body) + x.grav
-    n_ok = jnp.sum(ok.astype(jnp.int32))
-    last_i = jnp.maximum(n_ok - 1, 0)
-    frz_acc = jnp.where(n_ok > 0, acc_w_all[last_i], last_acc_w)
-    frz_gyr = jnp.where(n_ok > 0, gyr_b_all[last_i], last_gyr_b)
-    acc_w_rec = jnp.where(ok[:, None], acc_w_all, frz_acc)
-    gyr_b_rec = jnp.where(ok[:, None], gyr_b_all, frz_gyr)
+    idx_m = jnp.arange(ok.shape[0], dtype=jnp.int32)
+    ffill = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(ok, idx_m, -1)
+    )
+    has_prev = ffill >= 0
+    src = jnp.maximum(ffill, 0)
+    acc_w_rec = jnp.where(has_prev[:, None], acc_w_all[src], last_acc_w)
+    gyr_b_rec = jnp.where(has_prev[:, None], gyr_b_all[src], last_gyr_b)
 
     poses = (batch.t[1:], pos_post, vel_post, rot_post, acc_w_rec,
              gyr_b_rec)

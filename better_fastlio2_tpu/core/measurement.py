@@ -130,8 +130,12 @@ def neighborhood_moment_sums(
     neighborhood (own + face neighbors), rebased to the query's own-cell
     corner and summed.  `cell_mask_fn(nb_coords) -> bool` restricts which
     cells contribute (the device-sharded map sums only OWNED cells and
-    psums the partials — sums are associative across shards)."""
-    assert m.mom is not None, "map must be allocated with moments=True"
+    psums the partials — sums are associative across shards).
+
+    With a dense moment table (m.dmom, the steady-state fast path) the
+    whole read is ONE (N, 7)-lane row gather validated by the alias tag —
+    no slot lookup, no second gather; identical sums whenever the two
+    tables hold the same voxels."""
     dtype = m.points.dtype
     vs = m.voxel_size
     N = p_world.shape[0]
@@ -140,14 +144,26 @@ def neighborhood_moment_sums(
     NB = offs.shape[0]
     ijk = voxel_hash._voxel_of(p_world, vs)
     nb = ijk[:, None, :] + offs[None, :, :]
-    if m.dense is not None:
-        slots = voxel_hash._dense_lookup(m.dense, nb)
+    if m.dmom is not None:
+        dense_shape = m.dense.shape
+        lin = voxel_hash._dense_linear(dense_shape, nb)  # (N, NB)
+        tag = voxel_hash._alias_tag(dense_shape, nb).astype(dtype)
+        rows = m.dmom[lin]  # (N, NB, DMOM_CH) — the one gather
+        ok = rows[..., 0] == tag
+        if cell_mask_fn is not None:
+            ok = ok & cell_mask_fn(nb)
+        mom_nb = jnp.where(ok[..., None], rows[..., 1:11], 0.0)
+        slots = None
     else:
-        slots = voxel_hash._lookup_slots(
-            m.key, nb.reshape(-1, 3), max_probe
-        ).reshape(N, NB)
-    if cell_mask_fn is not None:
-        slots = jnp.where(cell_mask_fn(nb), slots, -1)
+        assert m.mom is not None, "map must be allocated with moments=True"
+        if m.dense is not None:
+            slots = voxel_hash._dense_lookup(m.dense, nb)
+        else:
+            slots = voxel_hash._lookup_slots(
+                m.key, nb.reshape(-1, 3), max_probe
+            ).reshape(N, NB)
+        if cell_mask_fn is not None:
+            slots = jnp.where(cell_mask_fn(nb), slots, -1)
 
     # rebase each neighbor's corner-relative moments to the OWN cell's
     # corner: delta = offs * vs (exact small constants), then
@@ -160,9 +176,12 @@ def neighborhood_moment_sums(
     sums = jnp.zeros((N, 10), dtype)
     iu = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     for j in range(NB):
-        sl = slots[:, j]
-        momj = jnp.where((sl >= 0)[:, None],
-                         m.mom[jnp.maximum(sl, 0)], 0.0)  # (N, 10)
+        if slots is None:
+            momj = mom_nb[:, j]  # dense path: already gathered
+        else:
+            sl = slots[:, j]
+            momj = jnp.where((sl >= 0)[:, None],
+                             m.mom[jnp.maximum(sl, 0)], 0.0)  # (N, 10)
         n_c = momj[:, 0]
         S1 = momj[:, 1:4]
         # δ_j as python-float scalars when vs is static, else traced

@@ -57,12 +57,17 @@ __all__ = [
     "VoxelHashMap",
     "make_map",
     "insert",
+    "insert_dense_moments",
+    "build_dense_moments",
     "knn",
     "crop_outside_box",
     "rebuild",
     "num_voxels",
     "tombstone_fraction",
+    "DMOM_CH",
 ]
+
+DMOM_CH = 12  # dense-moment row channels (see VoxelHashMap.dmom)
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -105,6 +110,21 @@ class VoxelHashMap(NamedTuple):
     # None disables (small throwaway maps in apps/tests).
     dense: jax.Array | None  # (Gx, Gy, Gz, 2) int32 or None
     voxel_size: jax.Array  # () float — on-device so the map is a pure pytree
+    # Optional DENSE moment table for the steady-state plane-cache fast
+    # path (see insert_dense_moments / build_dense_moments): moments
+    # stored directly at flattened torus addresses, so the association's
+    # 7-cell moment read is ONE row gather per cell with no slot
+    # indirection, and the steady insert touches neither the hash keys
+    # nor the slot-index — random-access lanes are the dominant
+    # device-step cost on TPU (measured ~6 ns/gather-lane, ~130 ns/
+    # scatter-lane on v5e).  Row layout (DMOM_CH = 12 f32 channels):
+    #   [0] alias tag (the packed-key bits ABOVE the torus address —
+    #       disambiguates torus-wrap aliases exactly, like the dense
+    #       index's stored-key check)
+    #   [1] n   [2:5] Σq   [5:11] Σqqᵀ upper triangle   [11] pad
+    # with q = p - voxel_corner, exactly the `mom` convention.  None
+    # disables (allocated lazily at the warmup→steady program switch).
+    dmom: jax.Array | None = None  # (G, DMOM_CH) float or None
 
     @property
     def capacity(self) -> int:
@@ -593,8 +613,126 @@ def insert(
         dense = flat.reshape(Gx, Gy, Gz, 2)
 
     return VoxelHashMap(
-        key_arr, count, points, mom, dense, m.voxel_size
+        key_arr, count, points, mom, dense, m.voxel_size, m.dmom
     )
+
+
+def _alias_tag(dense_shape, ijk: jax.Array) -> jax.Array:
+    """Packed-key bits ABOVE the torus address, per axis — together with
+    the flattened torus address this reconstructs the full packed key, so
+    an equal tag at the same address means the SAME voxel (within the
+    1024-cell key period, like every packed-key comparison here)."""
+    Gx, Gy, Gz = dense_shape[:3]
+    lx, ly, lz = (int(Gx).bit_length() - 1, int(Gy).bit_length() - 1,
+                  int(Gz).bit_length() - 1)
+    bx, by = 10 - lx, 10 - ly
+    tx = (ijk[..., 0] >> lx) & ((1 << bx) - 1)
+    ty = (ijk[..., 1] >> ly) & ((1 << by) - 1)
+    tz = (ijk[..., 2] >> lz) & ((1 << (10 - lz)) - 1)
+    return tx | (ty << bx) | (tz << (bx + by))
+
+
+@partial(jax.jit, static_argnames=("dense_shape", "mom_cap", "mom_budget"),
+         donate_argnums=(0,))
+def insert_dense_moments(
+    dmom: jax.Array,
+    dense_shape: tuple,
+    voxel_size: jax.Array,
+    pts_world: jax.Array,
+    valid: jax.Array,
+    mom_cap: int,
+    mom_budget: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Steady-state moment insert straight into the dense torus table.
+
+    The dense-moment analog of insert(moments_only=True, mom_cap,
+    mom_budget): each valid point accumulates its corner-relative moment
+    row into its voxel's torus cell, with freeze-at-cap semantics
+    (saturated cells stop accumulating) and an ascending-index compaction
+    to `mom_budget` scatter lanes.  Torus-wrap overwrite replaces both
+    the hash claim protocol AND the FoV box-delete: a cell whose stored
+    alias tag differs from the incoming voxel's is stale geometry from a
+    region >= one torus period away — its row is atomically replaced
+    (delta-add of new_row - old_row; the budget guarantees each selected
+    row's cell is unique within the batch, requiring the torus to span
+    the batch extent per axis — the same precondition as insert's
+    budgeted paths).
+
+    Requires the batch to be pre-grouped (<= 1 point per voxel — true for
+    voxel_downsample output at leaf == map voxel).  Returns
+    (dmom', n_new_cells).  Deviation from the reference's explicit FoV
+    crop (laserMapping.cpp:1136-1200) is documented in the pipeline:
+    geometry is forgotten by torus aliasing instead of box deletion.
+    """
+    n = pts_world.shape[0]
+    G = dmom.shape[0]
+    ijk = _voxel_of(pts_world, voxel_size)
+    lin = _dense_linear(dense_shape, ijk)
+    tag = _alias_tag(dense_shape, ijk).astype(dmom.dtype)
+
+    hdr = dmom[jnp.minimum(lin, G - 1), 0:2]  # (n, 2): [tag, count]
+    own = (hdr[:, 0] == tag) & valid
+    n_seen = jnp.where(own, hdr[:, 1], 0.0)
+    need = valid & (n_seen < mom_cap)
+
+    sel = jnp.nonzero(need, size=mom_budget, fill_value=n)[0].astype(
+        jnp.int32)
+    act = sel < n
+    sm = jnp.minimum(sel, n - 1)
+
+    old = dmom[jnp.where(act, lin[sm], G - 1)]  # (budget, DMOM_CH)
+    q = pts_world[sm] - ijk[sm].astype(dmom.dtype) * voxel_size
+    one = act.astype(dmom.dtype)
+    contrib = jnp.concatenate(
+        [
+            tag[sm, None],
+            one[:, None],
+            q * one[:, None],
+            jnp.stack(
+                [
+                    q[:, 0] * q[:, 0], q[:, 0] * q[:, 1],
+                    q[:, 0] * q[:, 2], q[:, 1] * q[:, 1],
+                    q[:, 1] * q[:, 2], q[:, 2] * q[:, 2],
+                ],
+                axis=-1,
+            ) * one[:, None],
+            jnp.zeros((mom_budget, 1), dmom.dtype),
+        ],
+        axis=-1,
+    )
+    own_s = own[sm]
+    # own cell: pure accumulate (tag delta 0); stale/new cell: replace
+    add_own = contrib.at[:, 0].set(0.0)
+    delta = jnp.where(own_s[:, None], add_own, contrib - old)
+    delta = delta * one[:, None]
+    dmom = dmom.at[jnp.where(act, lin[sm], G)].add(delta, mode="drop")
+    n_new = jnp.sum((act & ~own_s).astype(jnp.int32))
+    return dmom, n_new
+
+
+def build_dense_moments(m: VoxelHashMap, center) -> jax.Array:
+    """One-shot (G, DMOM_CH) dense moment table from the slot moments —
+    the warmup→steady handoff (host-side, once).  Voxel coords come from
+    the packed keys unwrapped around `center` (the FoV-cube center), so
+    point-less moments_only voxels transfer too.  Precondition (same as
+    every budgeted dense-path user): the live map extent fits within the
+    torus span per axis, so no two live voxels share a torus cell."""
+    assert m.mom is not None and m.dense is not None
+    dense_shape = m.dense.shape
+    G = dense_shape[0] * dense_shape[1] * dense_shape[2]
+    live = ((m.key & _LIVE_BIT) != 0) & (m.mom[:, 0] > 0)
+    center_ijk = _voxel_of(jnp.asarray(center, m.points.dtype),
+                           m.voxel_size)
+    coords = _unpack_rel(m.key, center_ijk)
+    lin = _dense_linear(dense_shape, coords)
+    tag = _alias_tag(dense_shape, coords).astype(m.points.dtype)
+    rows = jnp.concatenate(
+        [tag[:, None], m.mom,
+         jnp.zeros((m.capacity, 1), m.points.dtype)], axis=-1)
+    dmom = jnp.zeros((G, DMOM_CH), m.points.dtype)
+    # target rows start at zero and live cells are unique → add == set
+    return dmom.at[jnp.where(live, lin, G)].add(
+        jnp.where(live[:, None], rows, 0.0), mode="drop")
 
 
 def _neighbor_offsets(n_neighbors: int) -> jnp.ndarray:

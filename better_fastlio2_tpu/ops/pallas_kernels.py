@@ -149,8 +149,9 @@ def fused_normal_eqs(
 ) -> tuple[jax.Array, jax.Array]:
     """(G (8,8), n_moved ()) of a packed scan under the pose in `params`.
 
-    soa: (SOA_CH, N) from pack_soa, N a multiple of 8 (pad with
-    valid=0 rows).  params: (16,) f32 [R row-major 9 | t 3 | voxel_size
+    soa: (SOA_CH, N) from pack_soa — any N (columns are zero-padded up to
+    a whole tile internally; padded columns contribute exactly zero).
+    params: (16,) f32 [R row-major 9 | t 3 | voxel_size
     | 0...].  G[:6,:6] = HtWH, G[:6,6] = HtWh, G[7,7] = n_valid.
     Set interpret=True on CPU.
     """
@@ -158,16 +159,16 @@ def fused_normal_eqs(
     from jax.experimental.pallas import tpu as pltpu
 
     N = soa.shape[1]
-    # largest divisor of N <= 4*TILE — any N works (non-power-of-two
-    # shapes get a smaller, possibly lane-padded tile; correctness never
-    # depends on the tile choice).  Awkward N (huge prime factors) fall
-    # back to a single whole-array tile: (16, N) f32 is ~1 MB at the
-    # usual n_ds = 16k, comfortably inside VMEM.
+    # pad N up to a whole number of tiles instead of hunting for an exact
+    # divisor (a large-prime N used to degenerate to tile=1): padded
+    # columns carry ok=0/valid=0 and contribute exactly zero to both
+    # outputs, so any N works at full tile width.  No pad is ever needed
+    # at the usual power-of-two n_ds.
     tile = min(TILE * 4, N)
-    while N % tile:
-        tile -= 1
-    if tile < 1024 and N * SOA_CH * 4 <= 8 << 20:
-        tile = N
+    pad = (-N) % tile
+    if pad:
+        soa = jnp.pad(soa, ((0, 0), (0, pad)))
+        N += pad
     grid = (N // tile,)
     G, mv = pl.pallas_call(
         _neq_kernel,

@@ -51,12 +51,15 @@ class LIOState(NamedTuple):
 
 def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
                  enabled: jax.Array | None = None,
-                 skip_points: bool = False):
+                 skip_points: bool = False, no_crop: bool = False):
     """Moving-cube local map management (laserMapping.cpp:1136-1200).
 
     enabled=False (window padded-tail scans) suppresses the crop; the
     cube fields it returns are discarded by the caller's select.
-    skip_points: see crop_outside_box (steady plane-cache program)."""
+    skip_points: see crop_outside_box (steady plane-cache program).
+    no_crop=True (static) updates only the cube bookkeeping — the
+    dense-moment steady program forgets by torus aliasing instead
+    (IkdtreeConfig.mom_dense)."""
     half = cube_len / 2.0
     lo0 = pos_lid - half
     hi0 = pos_lid + half
@@ -78,6 +81,9 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
         return ls.cube_lo + shift, ls.cube_hi + shift, near_lo | near_hi
 
     lo, hi, moved = jax.lax.cond(ls.cube_init, move_case, init_case)
+    if no_crop:
+        return ls._replace(cube_lo=lo, cube_hi=hi,
+                           cube_init=jnp.array(True))
     need_crop = ls.cube_init & jnp.any(moved)
     if enabled is not None:
         need_crop = need_crop & enabled
@@ -113,6 +119,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
     eff_pc = (getattr(cfg.ikdtree, "plane_cache", False)
               if plane_cache is None else plane_cache)
     steady = eff_pc and getattr(cfg.ikdtree, "plane_cache_warmup", 0) > 0
+    # dense-moment steady program (IkdtreeConfig.mom_dense): association
+    # reads the tag-validated torus moment table, the insert writes ONLY
+    # that table, and the FoV crop is replaced by torus-wrap forgetting
+    mom_dense = steady and getattr(cfg.ikdtree, "mom_dense", False)
+    if mom_dense:
+        assert sh.map_dense_log2 is not None, (
+            "mom_dense requires shapes.map_dense_log2")
 
     def step(
         ls: LIOState,
@@ -147,7 +160,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # ---- local map FoV crop around the lidar position -----------------
         pos_lid = x_prop.pos + so3.quat_rotate(x_prop.rot, x_prop.off_t)
         ls = _fov_segment(ls, pos_lid, mp.cube_len, mp.det_range,
-                          enabled=scan_valid, skip_points=steady)
+                          enabled=scan_valid, skip_points=steady,
+                          no_crop=mom_dense)
 
         # ---- scan downsample ---------------------------------------------
         # packed-key sort is valid when the sensor-frame extent fits the
@@ -204,23 +218,38 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         # the warmup variant (plane_cache=False under a warmup split)
         # keeps the uncapped insert for the initial map-growth burst.
         pts_world = measurement.transform_to_world(x_post, pts_ds)
-        m = voxel_hash.insert(
-            ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe,
-            pre_grouped=(mp.surf_leaf_size == cfg.ikdtree.filter_size_map_min),
-            claim_budget=(getattr(sh, "insert_claim_budget", 0)
-                          if steady else 0),
-            dense_budget=(getattr(sh, "insert_dense_budget", 0)
-                          if steady else 0),
-            # the steady plane-cache program's association reads only
-            # mom/dense/key — skip the three bucket-append scatters (the
-            # warmup program keeps appending so the 5-NN fallback path
-            # has real points to search)
-            moments_only=steady and ls.map.mom is not None,
-            mom_cap=(getattr(cfg.ikdtree, "mom_cap", 0)
-                     if ls.map.mom is not None else 0),
-            mom_budget=(getattr(sh, "insert_mom_budget", 0)
-                        if steady and ls.map.mom is not None else 0),
-        )
+        if mom_dense:
+            # steady dense-moment insert: ONE header gather + ONE
+            # budgeted row scatter; hash keys / slot index / buckets are
+            # left untouched (frozen at their warmup content, like
+            # moments_only freezes the buckets)
+            dshape = tuple(1 << b for b in sh.map_dense_log2) + (2,)
+            new_dmom, _ = voxel_hash.insert_dense_moments(
+                ls.map.dmom, dshape, ls.map.voxel_size, pts_world,
+                ds_valid,
+                mom_cap=getattr(cfg.ikdtree, "mom_cap", 24),
+                mom_budget=max(getattr(sh, "insert_mom_budget", 0), 1024),
+            )
+            m = ls.map._replace(dmom=new_dmom)
+        else:
+            m = voxel_hash.insert(
+                ls.map, pts_world, ds_valid, max_probe=sh.map_max_probe,
+                pre_grouped=(
+                    mp.surf_leaf_size == cfg.ikdtree.filter_size_map_min),
+                claim_budget=(getattr(sh, "insert_claim_budget", 0)
+                              if steady else 0),
+                dense_budget=(getattr(sh, "insert_dense_budget", 0)
+                              if steady else 0),
+                # the steady plane-cache program's association reads only
+                # mom/dense/key — skip the three bucket-append scatters
+                # (the warmup program keeps appending so the 5-NN
+                # fallback path has real points to search)
+                moments_only=steady and ls.map.mom is not None,
+                mom_cap=(getattr(cfg.ikdtree, "mom_cap", 0)
+                         if ls.map.mom is not None else 0),
+                mom_budget=(getattr(sh, "insert_mom_budget", 0)
+                            if steady and ls.map.mom is not None else 0),
+            )
 
         ls = LIOState(
             x=x_post,
@@ -451,6 +480,12 @@ class LIOPipeline:
         self.dtype = jnp.dtype(cfg.dtype)
         self.window = int(window)
         self.quantized = bool(quantized) and self.window > 1
+        if self.quantized:
+            # the uint8 time-pair wire format packs times two-per-uint16:
+            # fail loudly at construction, not at device-side unpack
+            assert cfg.shapes.n_raw % 2 == 0, (
+                "quantized window mode requires an even shapes.n_raw "
+                f"(got {cfg.shapes.n_raw})")
         self.unroll = max(1, int(unroll))
         self._step = make_step_fn(cfg) if self.window == 1 else None
         self._wstep = (
@@ -474,6 +509,12 @@ class LIOPipeline:
                     cfg, self.window, plane_cache=False,
                     quantized=self.quantized, unroll=self.unroll,
                 )
+        if getattr(cfg.ikdtree, "mom_dense", False):
+            assert (getattr(cfg.ikdtree, "plane_cache", False)
+                    and self._warmup_scans > 0
+                    and cfg.shapes.map_dense_log2 is not None), (
+                "mom_dense requires plane_cache, plane_cache_warmup > 0 "
+                "and shapes.map_dense_log2")
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
         self.inited = False
@@ -548,12 +589,29 @@ class LIOPipeline:
         pos_lid = np.asarray(
             ls.x.pos + so3.quat_rotate(ls.x.rot, ls.x.off_t), np.float64)
         half = self.cfg.mapping.cube_len / 2.0
+        if ls.map.dmom is not None:
+            # the steady dense-moment program needs its table rebuilt
+            # from the fresh map's slot moments (same handoff as
+            # _ensure_dmom, re-centered on the corrected pose)
+            m = m._replace(dmom=voxel_hash.build_dense_moments(m, pos_lid))
         self.ls = ls._replace(
             map=m,
             cube_lo=jnp.asarray(pos_lid - half, self.dtype),
             cube_hi=jnp.asarray(pos_lid + half, self.dtype),
             cube_init=jnp.array(True),
         )
+
+    def _ensure_dmom(self):
+        """Warmup→steady handoff for the dense-moment fast path: build
+        the (G, DMOM_CH) torus moment table from the warmup map's slot
+        moments, once, right before the first steady-program dispatch."""
+        if not getattr(self.cfg.ikdtree, "mom_dense", False):
+            return
+        if self.ls.map.dmom is not None:
+            return
+        center = np.asarray((self.ls.cube_lo + self.ls.cube_hi) * 0.5)
+        dmom = voxel_hash.build_dense_moments(self.ls.map, center)
+        self.ls = self.ls._replace(map=self.ls.map._replace(dmom=dmom))
 
     def _try_init(self, imu_acc: np.ndarray, imu_gyr: np.ndarray) -> bool:
         self._init_acc.append(imu_acc)
@@ -675,6 +733,8 @@ class LIOPipeline:
             acc=jnp.asarray(A), gyr=jnp.asarray(G), t=jnp.asarray(Tt),
             mask=jnp.asarray(Mk),
         )
+        if self._scan_count > self._warmup_scans:
+            self._ensure_dmom()
         step = (
             self._step_warm
             if self._scan_count <= self._warmup_scans
@@ -799,6 +859,8 @@ class LIOPipeline:
         # warmup windows (rounded up to whole windows) use the 5-NN step
         done = getattr(self, "_scans_dispatched", 0)
         self._scans_dispatched = done + n_valid
+        if done >= self._warmup_scans:
+            self._ensure_dmom()
         wstep = (
             self._wstep_warm if done < self._warmup_scans else self._wstep
         )

@@ -163,3 +163,55 @@ def test_gps_factor_pins_translation():
     pos = np.asarray(se3.trans(g2.poses[:n]))
     want = np.stack([np.arange(n), np.zeros(n), np.zeros(n)], 1)
     np.testing.assert_allclose(pos, want, atol=0.02)
+
+
+def _random_chain_loops_graph(K, n_loops, rng, dtype=jnp.float32):
+    g = pg.make_graph(K, 4, K + n_loops + 4, max_gps=4, dtype=dtype)
+    yaw = 0.0
+    pos = np.zeros(3)
+    for k in range(K):
+        g = pg.set_pose(g, k, mk_pose(yaw, pos).astype(dtype))
+        yaw += rng.normal(scale=0.1)
+        pos = pos + rng.normal(scale=[1.0, 0.3, 0.05], size=3)
+    g = pg.add_prior(g, 0, g.poses[0], 1e-3, 1e-3)
+    for k in range(1, K):
+        rel = se3.between(g.poses[k - 1], g.poses[k])
+        g = pg.add_between(g, k - 1, k, rel, 0.1, 0.02)
+    for _ in range(n_loops):
+        i = int(rng.integers(0, K - 3))
+        j = int(rng.integers(i + 2, K))
+        rel = se3.between(g.poses[i], g.poses[j])
+        g = pg.add_between(g, i, j, rel, 0.3, 0.05)
+    g = pg.add_gps(g, K // 2, se3.trans(g.poses[K // 2]), 2.0)
+    return g
+
+
+def test_selected_marginals_equal_dense():
+    """selected_marginals (chain+loops block-tridiag + Woodbury) must
+    reproduce dense_marginals' diagonal blocks exactly (up to f64/f32
+    round-off) — the scalable replacement for the (6K)^2 inverse that the
+    info-gain RS selection consumes (Incremental_mapping.cpp:699-727)."""
+    rng = np.random.default_rng(11)
+    for K, n_loops in [(6, 0), (12, 3), (24, 6)]:
+        g = _random_chain_loops_graph(K, n_loops, rng)
+        Sig_d = np.asarray(pg.dense_marginals(g, K), np.float64)
+        Sig_s = pg.selected_marginals(g, K)
+        np.testing.assert_allclose(Sig_s, Sig_d, rtol=5e-3, atol=1e-6)
+
+
+def test_selected_marginals_scales_to_2048():
+    """The selection path must stay tractable at the pipeline's
+    max_keyframes scale (dense would need a 12288^2 inverse)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    K, n_loops = 2048, 64
+    g = _random_chain_loops_graph(K, n_loops, rng)
+    t0 = time.perf_counter()
+    Sig = pg.selected_marginals(g, K)
+    dt = time.perf_counter() - t0
+    assert Sig.shape == (K, 6, 6)
+    assert np.all(np.isfinite(Sig))
+    # marginals are covariances: symmetric positive diagonals
+    assert np.all(Sig[:, np.arange(6), np.arange(6)] > 0)
+    assert dt < 60.0, f"selected_marginals took {dt:.1f}s at K=2048"
