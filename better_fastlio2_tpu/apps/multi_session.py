@@ -58,6 +58,11 @@ class MultiSessionConfig:
     loop_sigma_t: float = 0.1
     loop_sigma_r: float = 0.1
     cauchy: bool = True  # robustNoiseModel (:416-433)
+    # loop-verification registration algorithm: None keeps the default
+    # multiscale FRICP cascade; an int 0-8 or REG_MODES name selects a
+    # single regMode algorithm (registeration.h:20-27) via
+    # ops.icp.register_run
+    reg_mode: int | str | None = None
     dtype: str = "float64"
 
 
@@ -161,12 +166,20 @@ class MultiSessionMerger:
         rel0 = se3.between(
             jnp.asarray(poses[c_idx]), jnp.asarray(poses[self.nc + q_idx])
         )
-        res = icp_ops.icp_multiscale(
-            jnp.asarray(src), jnp.ones(len(src), bool),
-            jnp.asarray(tgt), jnp.ones(len(tgt), bool),
-            rel0.astype(self.dtype),
-            max_corr=30.0,
-        )
+        if self.cfg.reg_mode is None:
+            res = icp_ops.icp_multiscale(
+                jnp.asarray(src), jnp.ones(len(src), bool),
+                jnp.asarray(tgt), jnp.ones(len(tgt), bool),
+                rel0.astype(self.dtype),
+                max_corr=30.0,
+            )
+        else:
+            res = icp_ops.register_run(
+                self.cfg.reg_mode,
+                jnp.asarray(src), jnp.ones(len(src), bool),
+                jnp.asarray(tgt), jnp.ones(len(tgt), bool),
+                rel0.astype(self.dtype), max_corr=30.0,
+            )
         if float(res.fitness) > self.cfg.loop_fitness_thresh:
             return None
         return res.pose

@@ -44,7 +44,34 @@ class ReloConfig:
     sc_dist_thresh: float = 0.4
     icp_fitness_thresh: float = 0.3
     welsch_sigma: float = 0.5
+    # registration algorithm, the regMode of the reference's FRICP
+    # toolkit (registeration.h:20-27): an int 0-8 or a REG_MODES name
+    # (ops/icp.REG_MODES).  None keeps the default robust point-to-plane
+    # (Welsch) the app shipped with; any other value dispatches through
+    # ops.icp.register_run.
+    reg_mode: int | str | None = None
     dtype: str = "float32"
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ReloConfig":
+        """Load the relo: block of a config/online_relo.yaml-style file
+        (reference key names: searchDis/searchNum/trustDis/regMode)."""
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        blk = d.get("relo", {})
+        cfg = cls()
+        for src, dst in [("searchDis", "search_dis"),
+                         ("searchNum", "search_num"),
+                         ("trustDis", "trust_dis"),
+                         ("regMode", "reg_mode"),
+                         ("sc_dist_thresh", "sc_dist_thresh"),
+                         ("icp_fitness_thresh", "icp_fitness_thresh"),
+                         ("welsch_sigma", "welsch_sigma")]:
+            if src in blk:
+                setattr(cfg, dst, blk[src])
+        return cfg
 
 
 class OnlineRelocalizer:
@@ -70,6 +97,23 @@ class OnlineRelocalizer:
         self.mode = "init"
 
     # -- helpers ------------------------------------------------------------
+    def _register(self, cloud_body, submap, init, max_corr, iters):
+        """One registration call under cfg.reg_mode: the Registeration::run
+        dispatch of the reference (registeration.h:36-175, regMode from
+        config/online_relo.yaml)."""
+        src = jnp.asarray(cloud_body, jnp.float64)
+        sv = jnp.ones(len(cloud_body), bool)
+        tgt = jnp.asarray(submap)
+        tv = jnp.ones(len(submap), bool)
+        ini = jnp.asarray(init, jnp.float64)
+        if self.cfg.reg_mode is None:
+            return icp_ops.icp_point2plane(
+                src, sv, tgt, tv, ini, max_corr=max_corr, iters=iters,
+                voxel=1.0, welsch_sigma=self.cfg.welsch_sigma)
+        return icp_ops.register_run(
+            self.cfg.reg_mode, src, sv, tgt, tv, ini, max_corr=max_corr,
+            iters=iters, voxel=1.0, welsch_sigma=self.cfg.welsch_sigma)
+
     def _kf_cloud(self, k: int) -> np.ndarray:
         if k not in self._cloud_cache:
             xyz, _ = self.prior.cloud(k)
@@ -121,14 +165,8 @@ class OnlineRelocalizer:
             if np.linalg.norm(init[4:7] - external_guess[4:7]) > self.cfg.trust_dis:
                 return False  # cross-check failed (:545-559)
         submap = self._prior_submap_world(k, self.cfg.search_num + 2)
-        res = icp_ops.icp_point2plane(
-            jnp.asarray(cloud_body, jnp.float64),
-            jnp.ones(len(cloud_body), bool),
-            jnp.asarray(submap), jnp.ones(len(submap), bool),
-            jnp.asarray(init),
-            max_corr=10.0, iters=25, voxel=1.0,
-            welsch_sigma=self.cfg.welsch_sigma,
-        )
+        res = self._register(cloud_body, submap, init,
+                             max_corr=10.0, iters=25)
         if float(res.fitness) > self.cfg.icp_fitness_thresh:
             return False
         self.T_init_map = np.asarray(res.pose)
@@ -157,14 +195,8 @@ class OnlineRelocalizer:
             # relo mode: register scan to prior submap (:180-270)
             self.mode = "relo"
             submap = self._prior_submap_world(k, self.cfg.search_num)
-            res = icp_ops.icp_point2plane(
-                jnp.asarray(cloud_body, jnp.float64),
-                jnp.ones(len(cloud_body), bool),
-                jnp.asarray(submap), jnp.ones(len(submap), bool),
-                jnp.asarray(pose_map, jnp.float64),
-                max_corr=5.0, iters=12, voxel=1.0,
-                welsch_sigma=self.cfg.welsch_sigma,
-            )
+            res = self._register(cloud_body, submap, pose_map,
+                                 max_corr=5.0, iters=12)
             if float(res.fitness) <= self.cfg.icp_fitness_thresh:
                 pose_map = np.asarray(res.pose)
                 self.T_corr = np.asarray(

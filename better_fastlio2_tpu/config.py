@@ -22,6 +22,9 @@ __all__ = ["LIOConfig", "load_yaml"]
 @dataclass
 class PreprocessConfig:
     lidar_type: int = 1  # 1 Livox, 2 Velodyne, 3 Ouster, 4 Robosense (preprocess.h:8)
+    # Livox transport variant: 1 = custom msg (livox_handler), 2 = via
+    # PointCloud2 (livoxros_handler, config/hap_ros.yaml's livox_type)
+    livox_type: int = 1
     blind: float = 0.01  # blind-range radius, metres
     scan_line: int = 16
     scan_rate: int = 10
@@ -172,6 +175,7 @@ class LIOConfig:
         pre = d.get("preprocess", {})
         for k_src, k_dst in [
             ("lidar_type", "lidar_type"),
+            ("livox_type", "livox_type"),
             ("blind", "blind"),
             ("scan_line", "scan_line"),
             ("scan_rate", "scan_rate"),

@@ -297,6 +297,14 @@ def update_iterated(
     dtype = P_prop.dtype
     eyeN = jnp.eye(ERR_DIM, dtype=dtype)
     eyeP = jnp.eye(ERR_DIM, dtype=dtype)
+    # does the model emit the precomputed Gram matrix (the fused-solve /
+    # Woodbury path)?  Detected structurally so callers need not keep the
+    # `fused` flag in sync with their measure_fn
+    has_gram = jax.eval_shape(
+        measure_fn, x_prop, jnp.array(True), aux0
+    ).gram is not None
+    del fused  # structural detection supersedes the caller's flag
+    fused = has_gram
     # (P_prop/R)^-1 once per scan: per-iteration P = T P_prop T^T with
     # block-diagonal T, so (P/R)^-1 = R T^-T P_prop^-1 T^-1 — the
     # per-iteration 23x23 Cholesky of the prior collapses to two small
@@ -344,10 +352,7 @@ def update_iterated(
                 n_valid = jax.lax.psum(n_valid, psum_axis)
 
         dx = boxminus(x, x_prop)
-        T, dx_new = _dx_transport(dx, x, x_prop)
-        P = T @ P_prop @ T.T
         valid = n_valid >= 1.0  # laserMapping.cpp:1956-1961 guard
-        P = 0.5 * (P + P.T)
         if m.gram is not None:
             # Woodbury form of the gain columns: with A = S_inv + U HTH Uᵀ
             # (U = the first K columns of I) and S_inv = R (T P_prop Tᵀ)⁻¹
@@ -358,7 +363,29 @@ def update_iterated(
             # with ONE K×K solve per iteration and no prior inverse at
             # all (the tiny serial factorizations are latency chains on
             # TPU; this is the fused-solve fast path).
-            P6 = P[:, :K] / R
+            #
+            # Only (T P_prop Tᵀ)[:, :K] is ever consumed, and T is
+            # block-diagonal (identity except the two SO3 3×3 blocks and
+            # the S2 2×2), so the two 23×23 transport matmuls collapse
+            # to six small block products — the per-iteration small-op
+            # latency chain is the measured cost here, not FLOPs.
+            A3 = so3.A_matrix(dx[3:6]).T
+            A6 = so3.A_matrix(dx[6:9]).T
+            Nx = s2m.s2_nx_yy(x.grav)
+            Mx = s2m.s2_mx(x_prop.grav, dx[21:23])
+            S2b = Nx @ Mx
+            dx_new = dx.at[3:6].set(A3 @ dx[3:6]) \
+                       .at[6:9].set(A6 @ dx[6:9]) \
+                       .at[21:23].set(S2b @ dx[21:23])
+            # C = P_prop @ (T[:K,:])ᵀ — right-apply the K leading rows of
+            # T (identity rows 0:3, A3 block at 3:6), then left-apply T's
+            # row blocks
+            C = jnp.concatenate(
+                [P_prop[:, 0:3], P_prop[:, 3:6] @ A3.T], axis=1)
+            C = C.at[3:6].set(A3 @ C[3:6]) \
+                 .at[6:9].set(A6 @ C[6:9]) \
+                 .at[21:23].set(S2b @ C[21:23])
+            P6 = C / R
             eyeK = jnp.eye(K, dtype=dtype)
             M6 = eyeK + HTH @ P6[:K]
             # conditioning guard (the analog of the non-fused path's
@@ -369,6 +396,9 @@ def update_iterated(
             M6 = M6 + (1e-6 / K) * jnp.sum(jnp.abs(jnp.diag(M6))) * eyeK
             P_inv12 = jnp.linalg.solve(M6.T, P6.T).T
         else:
+            T, dx_new = _dx_transport(dx, x, x_prop)
+            P = T @ P_prop @ T.T
+            P = 0.5 * (P + P.T)
             # (H^T H + (P/R)^-1)^-1: (P/R)^-1 from the precomputed prior
             # inverse via the closed-form transport inverse (see above);
             # the single remaining 23x23 Cholesky solves only the K
@@ -382,11 +412,10 @@ def update_iterated(
             P_inv12 = jax.scipy.linalg.cho_solve(
                 (jnp.linalg.cholesky(A), True), eyeP[:, :K]
             )  # (23, K) = A^-1[:, :K]
+        # dx_ = K_h + (K_x - I) dx_new without materialising the 23x23
+        # K_x inside the loop (rebuilt once after the loop for Joseph)
         K_h = P_inv12 @ HTh
-        K_x = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :K].set(
-            P_inv12 @ HTH
-        )
-        dx_ = K_h + (K_x - eyeN) @ dx_new
+        dx_ = K_h + P_inv12 @ (HTH @ dx_new[:K]) - dx_new
 
         x_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(valid, a, b), boxplus(x, dx_), x
@@ -396,19 +425,26 @@ def update_iterated(
         conv_next = converged | ((t_new == 0) & (i == max_iter - 1))
         done = (t_new > 1) | (i >= max_iter)
 
-        return {
+        out = {
             "x": x_new,
             "t": t_new,
             "conv": conv_next,
             "aux": m.aux,
             "i": i + 1,
             "done": done,
-            "P": P,
-            "K_x": K_x,
             "P_inv12": P_inv12,
             "HTH": HTH,
             "dx_": dx_,
+            "n_eff": n_valid.astype(dtype),
         }
+        if m.gram is not None:
+            # the fused path never forms P in the loop; carry the tiny
+            # transport blocks of the LAST iteration so the Joseph final
+            # update can rebuild P_last = T P_prop T^T once
+            out["A3"], out["A6"], out["S2b"] = A3, A6, S2b
+        else:
+            out["P"] = P
+        return out
 
     c0 = {
         "x": x_prop,
@@ -417,12 +453,17 @@ def update_iterated(
         "aux": aux0,
         "i": jnp.array(0, jnp.int32),
         "done": jnp.array(False),
-        "P": P_prop,
-        "K_x": jnp.zeros((ERR_DIM, ERR_DIM), dtype),
         "P_inv12": jnp.zeros((ERR_DIM, n_cols), dtype),
         "HTH": jnp.zeros((n_cols, n_cols), dtype),
         "dx_": jnp.zeros(ERR_DIM, dtype),
+        "n_eff": jnp.zeros((), dtype),
     }
+    if fused:
+        c0["A3"] = jnp.eye(3, dtype=dtype)
+        c0["A6"] = jnp.eye(3, dtype=dtype)
+        c0["S2b"] = jnp.eye(2, dtype=dtype)
+    else:
+        c0["P"] = P_prop
     c = jax.lax.while_loop(cond, body, c0)
 
     # Final covariance update.  The reference computes P <- L - K_x P
@@ -434,7 +475,21 @@ def update_iterated(
     # with K R K^T = R * P_inv12 HTH P_inv12^T (R scalar), then the
     # manifold transport T built from the final increment dx_.
     x_fin = c["x"]
-    P_last, K_x_last = c["P"], c["K_x"]
+    if fused:
+        # rebuild P_last = T P_prop T^T once from the carried blocks
+        def rows_T(M, A3, A6, S2b):
+            return (M.at[3:6].set(A3 @ M[3:6])
+                     .at[6:9].set(A6 @ M[6:9])
+                     .at[21:23].set(S2b @ M[21:23]))
+
+        Pl = rows_T(P_prop, c["A3"], c["A6"], c["S2b"])
+        P_last = rows_T(Pl.T, c["A3"], c["A6"], c["S2b"]).T
+        P_last = 0.5 * (P_last + P_last.T)
+    else:
+        P_last = c["P"]
+    K_x_last = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :n_cols].set(
+        c["P_inv12"] @ c["HTH"]
+    )
     T_fin, _ = _dx_transport(c["dx_"], x_fin, x_prop)
     IKH = jnp.eye(ERR_DIM, dtype=dtype) - K_x_last
     KRK = R * (c["P_inv12"] @ c["HTH"] @ c["P_inv12"].T)
@@ -442,5 +497,5 @@ def update_iterated(
     P_post = T_fin @ P_joseph @ T_fin.T
     P_post = 0.5 * (P_post + P_post.T)
 
-    info = {"iters": c["i"], "t": c["t"]}
+    info = {"iters": c["i"], "t": c["t"], "n_eff": c["n_eff"]}
     return x_fin, P_post, c["aux"], info

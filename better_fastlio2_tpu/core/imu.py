@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..utils import s2 as s2m
 from ..utils import so3
 from .esikf import predict, predict_jacobians, predict_mean
-from .state import State, init_P
+from .state import ERR_DIM, State, init_P
 
 __all__ = ["ImuBatch", "ImuPoses", "imu_init", "propagate", "undistort", "build_Q"]
 
@@ -212,8 +212,20 @@ def propagate(
         Fb, Gb = b
         return Fb @ Fa, jnp.einsum("...ij,...jk,...lk->...il", Fb, Ga, Fb) + Gb
 
-    F_pre, G_pre = jax.lax.associative_scan(compose, (F_all, G_all))
-    F_tot, G_tot = F_pre[-1], G_pre[-1]
+    # only the TOTAL composition is needed (an associative_scan would
+    # compute every prefix — ~2x the batched matmuls for values nobody
+    # reads): binary-tree reduce, identity-padded to a power of two
+    Fr, Gr = F_all, G_all
+    n_lvl = Fr.shape[0]
+    pow2 = 1 << (n_lvl - 1).bit_length()
+    if pow2 != n_lvl:
+        eye_pad = jnp.broadcast_to(jnp.eye(ERR_DIM, dtype=dtype),
+                                   (pow2 - n_lvl, ERR_DIM, ERR_DIM))
+        Fr = jnp.concatenate([Fr, eye_pad])
+        Gr = jnp.concatenate([Gr, jnp.zeros_like(eye_pad)])
+    while Fr.shape[0] > 1:
+        Fr, Gr = compose((Fr[0::2], Gr[0::2]), (Fr[1::2], Gr[1::2]))
+    F_tot, G_tot = Fr[0], Gr[0]
     P_end = F_tot @ P @ F_tot.T + G_tot
 
     # prepend pose 0 = incoming state at scan start

@@ -148,11 +148,19 @@ def neighborhood_moment_sums(
         dense_shape = m.dense.shape
         lin = voxel_hash._dense_linear(dense_shape, nb)  # (N, NB)
         tag = voxel_hash._alias_tag(dense_shape, nb).astype(dtype)
-        rows = m.dmom[lin]  # (N, NB, DMOM_CH) — the one gather
-        ok = rows[..., 0] == tag
-        if cell_mask_fn is not None:
-            ok = ok & cell_mask_fn(nb)
-        mom_nb = jnp.where(ok[..., None], rows[..., 1:11], 0.0)
+        # one 1-D-indexed row gather PER OFFSET: XLA lowers N-lane
+        # 1-D-index gathers measurably faster than a single (N, NB)
+        # 2-D-index gather of the same rows (profile_ablate2 A/B; 4-D
+        # multi-dim indexing is worse still)
+        mask_ok = cell_mask_fn(nb) if cell_mask_fn is not None else None
+        rows_l = []
+        for j in range(NB):
+            rj = m.dmom[lin[:, j]]  # (N, DMOM_CH)
+            okj = rj[:, 0] == tag[:, j]
+            if mask_ok is not None:
+                okj = okj & mask_ok[:, j]
+            rows_l.append(jnp.where(okj[:, None], rj[:, 1:11], 0.0))
+        mom_nb = rows_l  # list of (N, 10), consumed per-offset below
         slots = None
     else:
         assert m.mom is not None, "map must be allocated with moments=True"
@@ -177,7 +185,7 @@ def neighborhood_moment_sums(
     iu = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     for j in range(NB):
         if slots is None:
-            momj = mom_nb[:, j]  # dense path: already gathered
+            momj = mom_nb[j]  # dense path: already gathered
         else:
             sl = slots[:, j]
             momj = jnp.where((sl >= 0)[:, None],

@@ -27,6 +27,7 @@ __all__ = [
     "TIME_UNIT_SCALE",
     "preprocess_common",
     "preprocess_livox",
+    "preprocess_livox_ros",
     "preprocess_velodyne",
     "preprocess_ouster",
     "preprocess_robosense",
@@ -81,6 +82,40 @@ def preprocess_livox(
     t = offset_time_ns.astype(np.float64) * 1e-9
     return preprocess_common(
         pts[ok], t[ok], intensity[ok], blind, point_filter_num
+    )
+
+
+def preprocess_livox_ros(
+    pts: np.ndarray,
+    intensity: np.ndarray,
+    tag: np.ndarray,
+    line: np.ndarray,
+    n_scans: int = 6,
+    blind: float = 4.0,
+    point_filter_num: int = 1,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Livox-via-PointCloud2 decode (livoxros_handler,
+    preprocess.cpp:477-526 — the config/hap_ros.yaml path).
+
+    Same return-type gate as the custom-msg handler ((tag & 0x30) in
+    {0x00, 0x10}) plus the line < N_SCANS gate, stride subsample,
+    consecutive-duplicate suppression (the |Δp| > 1e-7 test of :519) and
+    blind cull.  The PointCloud2 layout carries NO usable per-point
+    offset time in the reference path (curvature is left unset), so
+    t_offset is all-zero — undistortion degrades to scan-level, exactly
+    as the reference behaves on this topic."""
+    ret = tag.astype(np.int64) & 0x30
+    ok = ((ret == 0x00) | (ret == 0x10)) & (line.astype(np.int64) < n_scans)
+    pts, intensity = pts[ok], intensity[ok]
+    if point_filter_num > 1:
+        pts = pts[::point_filter_num]
+        intensity = intensity[::point_filter_num]
+    if len(pts) > 1:
+        dup = np.all(np.abs(np.diff(pts, axis=0)) <= 1e-7, axis=1)
+        keep = np.concatenate([[True], ~dup])
+        pts, intensity = pts[keep], intensity[keep]
+    return preprocess_common(
+        pts, np.zeros(len(pts)), intensity, blind, 1
     )
 
 

@@ -21,7 +21,8 @@ import numpy as np
 GRAVITY = 9.809
 G_VEC = np.array([0.0, 0.0, -GRAVITY])
 
-__all__ = ["SyntheticWorld", "Trajectory", "make_lio_sequence"]
+__all__ = ["SyntheticWorld", "OutdoorWorld", "Trajectory",
+           "make_lio_sequence", "make_bench_sequence"]
 
 
 class SyntheticWorld:
@@ -102,6 +103,153 @@ class SyntheticWorld:
         return out[keep], tofs[keep]
 
 
+class OutdoorWorld:
+    """Hostile outdoor-like scene — the adversarial counterpart of the
+    box room, built so the point-to-plane model and the per-voxel plane
+    cache CANNOT rely on large dense planes:
+
+    * undulating ground (curved, never exactly planar)
+    * sparse partial building facades (small patches, gaps between them)
+    * tree trunks (vertical cylinders) with volumetric canopy clutter
+    * free-floating clutter points on no structure at all (vegetation)
+    * a few moving box objects (cars) translating through the scene —
+      their returns are sampled at the point's capture time, so they
+      smear across the sweep exactly like real dynamic objects
+
+    The mixture weights put ~35% of returns on curved/cluttered/dynamic
+    geometry, which drops plane-fit validity and cache hit rates the way
+    real outdoor scans do (BASELINE.md's second workload row)."""
+
+    def __init__(self, seed: int = 0, half: float = 60.0):
+        rng = np.random.default_rng(seed)
+        self.half = half
+        static = []
+
+        # ground: sampled on a grid patchwork with height field.
+        # Density matters for fairness: the world must carry enough
+        # unique structure that a 30k-point scan is mostly fresh surface
+        # samples (a too-sparse world lets ANY implementation skip work).
+        n_g = int(half * half * 12)
+        gx = rng.uniform(-half, half, n_g)
+        gy = rng.uniform(-half, half, n_g)
+        gz = self._terrain(gx, gy)
+        static.append(np.stack([gx, gy, gz], 1))
+
+        # facades: 24 partial wall patches, random yaw, 6-14 m wide
+        for _ in range(24):
+            w, h = rng.uniform(6, 14), rng.uniform(3, 7)
+            c = rng.uniform(-0.8 * half, 0.8 * half, 2)
+            yaw = rng.uniform(0, np.pi)
+            u = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+            n_f = int(w * h * 30)
+            a = rng.uniform(0, w, n_f)
+            b = rng.uniform(0, h, n_f)
+            base = np.array([c[0], c[1], 0.0]) - 0.5 * w * u
+            pts = base + a[:, None] * u + b[:, None] * np.array([0, 0, 1.0])
+            pts[:, 2] += self._terrain(pts[:, 0], pts[:, 1])
+            static.append(pts)
+
+        # tree trunks + canopy blobs
+        for _ in range(60):
+            c = rng.uniform(-0.9 * half, 0.9 * half, 2)
+            r = rng.uniform(0.15, 0.45)
+            hgt = rng.uniform(2.5, 6.0)
+            n_t = 300
+            th = rng.uniform(0, 2 * np.pi, n_t)
+            z = rng.uniform(0, hgt, n_t)
+            trunk = np.stack(
+                [c[0] + r * np.cos(th), c[1] + r * np.sin(th),
+                 z + self._terrain(c[0], c[1])], 1)
+            static.append(trunk)
+            n_c = 500
+            canopy = (np.array([c[0], c[1],
+                                hgt + self._terrain(c[0], c[1])])
+                      + rng.normal(scale=[1.8, 1.8, 1.1], size=(n_c, 3)))
+            static.append(canopy)
+
+        # structureless clutter (bushes/grass returns)
+        n_cl = int(half * half * 2.5)
+        cl = np.stack([
+            rng.uniform(-half, half, n_cl),
+            rng.uniform(-half, half, n_cl),
+            rng.uniform(0.0, 1.2, n_cl),
+        ], 1)
+        cl[:, 2] += self._terrain(cl[:, 0], cl[:, 1])
+        static.append(cl)
+
+        self.points = np.concatenate(static).astype(np.float64)
+
+        # moving boxes: (center0 (3,), velocity (3,), size (3,)) — driven
+        # through the corridor the trajectory uses
+        self.movers = []
+        for k in range(3):
+            c0 = np.array([rng.uniform(-10, 10), rng.uniform(-6, 6), 0.9])
+            v = np.array([rng.uniform(1.0, 3.0) * (-1) ** k,
+                          rng.uniform(-0.3, 0.3), 0.0])
+            size = np.array([4.2, 1.8, 1.5])
+            self.movers.append((c0, v, size))
+        self._rng = rng
+
+    @staticmethod
+    def _terrain(x, y):
+        return 0.4 * np.sin(np.asarray(x) / 15.0) * np.cos(
+            np.asarray(y) / 21.0) + 0.15 * np.sin(np.asarray(y) / 7.0)
+
+    def _mover_points(self, t, n_per=120):
+        out = []
+        for c0, v, size in self.movers:
+            c = c0 + v * t
+            face = self._rng.integers(0, 3, n_per)
+            s = self._rng.uniform(-0.5, 0.5, (n_per, 3)) * size
+            for ax in range(3):
+                m = face == ax
+                s[m, ax] = 0.5 * size[ax] * np.sign(
+                    self._rng.random(int(m.sum())) - 0.5)
+            out.append(c + s + [0, 0, 0.5 * size[2]])
+        return np.concatenate(out)
+
+    def scan(self, pos_of_t, rot_of_t, t0, duration, n_points,
+             max_range=50.0, min_range=1.0, noise=0.0, rng=None):
+        """Same contract as SyntheticWorld.scan; ~4% of returns come from
+        the moving objects, sampled at each slice's capture time."""
+        rng = rng or np.random.default_rng(1)
+        # oversample so the post-cull scan still delivers ~n_points
+        # returns (fairness: both bench workloads feed the same point
+        # budget to both implementations)
+        n_points = int(n_points * 1.45)
+        n_dyn = int(0.04 * n_points)
+        n_stat = n_points - n_dyn
+        tofs = np.sort(rng.uniform(0, duration, size=n_points))
+        idx = rng.integers(0, len(self.points), size=n_stat)
+        out = np.empty((n_points, 3))
+        src = np.empty((n_points, 3))
+        n_slices = 32
+        sl = np.minimum((tofs / duration * n_slices).astype(int),
+                        n_slices - 1)
+        # dynamic returns: uniformly spread over the sweep
+        dyn_rows = rng.permutation(n_points)[:n_dyn]
+        stat_mask = np.ones(n_points, bool)
+        stat_mask[dyn_rows] = False
+        src[stat_mask] = self.points[idx[: stat_mask.sum()]]
+        for s in range(n_slices):
+            m = sl == s
+            if not m.any():
+                continue
+            tm = t0 + (s + 0.5) * duration / n_slices
+            dyn_m = m & ~stat_mask
+            if dyn_m.any():
+                mv = self._mover_points(tm)
+                src[dyn_m] = mv[rng.integers(0, len(mv), int(dyn_m.sum()))]
+            R = rot_of_t(tm)
+            p = pos_of_t(tm)
+            out[m] = (src[m] - p) @ R
+        if noise:
+            out += rng.normal(scale=noise, size=out.shape)
+        rr = np.linalg.norm(out, axis=1)
+        keep = (rr > min_range) & (rr < max_range)
+        return out[keep], tofs[keep]
+
+
 @dataclass
 class Trajectory:
     """Analytic trajectory: stationary for t_still, then constant forward
@@ -168,6 +316,29 @@ class Trajectory:
             acc = acc + rng.normal(scale=acc_noise, size=3)
             gyr = gyr + rng.normal(scale=gyr_noise, size=3)
         return acc, gyr
+
+
+def make_bench_sequence(workload: str, n_scans: int, n_points: int = 30_000,
+                        seed: int = 7):
+    """The benchmark workloads, shared verbatim by bench.py and the C++
+    reference-baseline harness (tools/bench_cpu_ref.py) so the
+    vs_baseline ratio stays apples-to-apples on every workload.
+
+    "room"    — the six-plane box room (the design's best case)
+    "outdoor" — the hostile OutdoorWorld mix (curved ground, partial
+                facades, trees, clutter, moving objects)
+    """
+    if workload == "room":
+        world = None  # make_lio_sequence default (SyntheticWorld)
+    elif workload == "outdoor":
+        world = OutdoorWorld(seed=seed)
+    else:
+        raise ValueError(f"unknown workload {workload!r}")
+    return list(make_lio_sequence(
+        duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
+        n_points=n_points, seed=seed, noise=0.004,
+        traj=Trajectory(t_still=0.7, speed=3.0), world=world,
+    ))
 
 
 def make_lio_sequence(

@@ -352,12 +352,24 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         )
         pts_body = imu_mod.undistort(x_prop, poses, pts, pt_t)
 
-        # local downsample of the shard, then all_gather the batch
+        # local downsample of the shard, then all_gather the batch in
+        # the v2 quantized wire format (int16 @ POS_SCALE ~3.7 mm steps,
+        # below sensor noise — the same format the host->device path
+        # ships, pipeline/lio.py POS_SCALE): halves the dominant
+        # all_gather payload.  Invalid rows quantize to 0 harmlessly
+        # (dv_all masks them).  The moment-partial psum stays f32: a
+        # psum accumulates quantization error D-fold and exact
+        # cross-shard additivity is what makes the sharded blend equal
+        # the single-chip one.
         n_ds_loc = sh.n_ds // n_dev
         ds_loc, dv_loc = voxel_downsample(
             pts_body, pt_valid, mp.surf_leaf_size, out_size=n_ds_loc
         )
-        ds_all = jax.lax.all_gather(ds_loc, axis).reshape(-1, 3)
+        pos_scale = jnp.asarray(120.0 / 32767.0, dtype)
+        ds_q = jnp.clip(jnp.round(ds_loc / pos_scale),
+                        -32767, 32767).astype(jnp.int16)
+        ds_all = (jax.lax.all_gather(ds_q, axis).reshape(-1, 3)
+                  .astype(dtype) * pos_scale)
         dv_all = jax.lax.all_gather(dv_loc, axis).reshape(-1)
 
         # ---- association: 5-NN merge (warmup) or psum'd moment blend --
@@ -600,7 +612,7 @@ def comm_volume_per_scan(cfg, n_dev: int) -> dict:
     sh = cfg.shapes
     f = (n_dev - 1) / n_dev
     iters = cfg.ikdtree.max_iteration + 1  # worst-case ESIKF passes
-    S_ds = sh.n_ds * 3 * 4
+    S_ds = sh.n_ds * 3 * 2  # int16 v2 wire quantization (POS_SCALE)
     S_mom = sh.n_ds * 10 * 4
     k = 5
     S_knn = sh.n_ds * k * (4 + 12)  # d2 + points partial top-k

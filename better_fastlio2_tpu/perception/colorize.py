@@ -28,6 +28,19 @@ class CameraModel:
     width: int
     height: int
 
+    @classmethod
+    def from_config(cls, cam_block: dict, width: int = 1280,
+                    height: int = 720) -> "CameraModel":
+        """Build from a reference-style yaml `camera:` block
+        (config/hap_ros.yaml, config/mulran.yaml): `camera_internal` is
+        the flattened 3x4 projection, `camera_external` the flattened
+        4x4 camera-from-LiDAR transform (paramSetting,
+        laserMapping.cpp:279-290)."""
+        K = np.asarray(cam_block["camera_internal"], float).reshape(3, 4)
+        T = np.asarray(cam_block["camera_external"], float).reshape(4, 4)
+        return cls(intrinsics=K, extrinsics=T, width=int(width),
+                   height=int(height))
+
     def project(self, pts_lidar: np.ndarray):
         """Returns (uv (N,2) float, depth (N,), in_image (N,))."""
         homo = np.concatenate(

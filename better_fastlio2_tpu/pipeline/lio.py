@@ -195,20 +195,21 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         )
 
         def do_update(_):
-            return esikf.update_iterated(
+            x_u, P_u, _, info_u = esikf.update_iterated(
                 x_prop, P_prop, measure, aux0,
                 max_iter=cfg.ikdtree.max_iteration,
                 n_cols=12 if mp.extrinsic_est_en else 6,
                 fused=eff_fused,
-            )[:2]
+            )
+            return x_u, P_u, info_u["n_eff"].astype(dtype)
 
         def skip_update(_):
-            return x_prop, P_prop
+            return x_prop, P_prop, jnp.zeros((), dtype)
 
         n_valid = jnp.sum(ds_valid.astype(jnp.int32))
         can_update = ls.ekf_inited & (n_valid >= 5)  # laserMapping.cpp:2347
-        x_post, P_post = jax.lax.cond(can_update, do_update, skip_update,
-                                      operand=None)
+        x_post, P_post, n_eff = jax.lax.cond(can_update, do_update,
+                                             skip_update, operand=None)
 
         # ---- map incremental insert --------------------------------------
         # when the scan leaf equals the map voxel, voxel_downsample's
@@ -302,7 +303,11 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 x_post.bg.astype(jnp.float32),
                 x_post.ba.astype(jnp.float32),
                 x_post.grav.astype(jnp.float32),
-                jnp.zeros(4, jnp.float32),  # pad to 32
+                # [28] valid measurement rows of the final ESIKF
+                # iteration (association + robust-gate survivors) — the
+                # hit-rate observable the hostile-workload report uses
+                n_eff[None].astype(jnp.float32),
+                jnp.zeros(3, jnp.float32),  # pad to 32
             ]
         )
         if scan_valid is not None:
@@ -821,6 +826,7 @@ class LIOPipeline:
             "bg": v[19:22],
             "ba": v[22:25],
             "grav": v[25:28],
+            "n_eff": int(v[28]),
         }
         self.trajectory.append(v[0:7].copy())
         return out

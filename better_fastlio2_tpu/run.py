@@ -230,7 +230,11 @@ def cmd_online_relo(args):
 
     cfg = load_yaml(args.config) if args.config else LIOConfig()
     lio = LIOPipeline(cfg)
-    relo = OnlineRelocalizer(args.prior, ReloConfig())
+    # the relo: block (searchDis/searchNum/trustDis/regMode — the
+    # reference's config/online_relo.yaml keys) rides the same file
+    rcfg = (ReloConfig.from_yaml(args.config) if args.config
+            else ReloConfig())
+    relo = OnlineRelocalizer(args.prior, rcfg)
     results = []
     for g in _groups_from_dataset(args.dataset, args):
         out = lio.process_scan(

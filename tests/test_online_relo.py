@@ -85,3 +85,46 @@ def test_online_relocalization(rng):
         out = relo.process(cloud, odom)
         assert out["mode"] == "lio"
         assert len(relo.kf_poses) == n_kf_before + 1
+
+
+def test_reg_mode_selectable(rng, tmp_path):
+    """cfg.reg_mode routes registration through any REG_MODES entry
+    (registeration.h:20-27 regMode), and ReloConfig.from_yaml reads the
+    reference's online_relo.yaml keys."""
+    import yaml
+
+    from better_fastlio2_tpu.ops import icp as icp_ops
+
+    # from_yaml parses the reference-style relo: block
+    cfgf = tmp_path / "relo.yaml"
+    cfgf.write_text(yaml.safe_dump(
+        {"relo": {"searchDis": 7.5, "searchNum": 2, "trustDis": 3.0,
+                  "regMode": 4}}))
+    rc = ReloConfig.from_yaml(str(cfgf))
+    assert (rc.search_dis, rc.search_num, rc.trust_dis, rc.reg_mode) == \
+        (7.5, 2, 3.0, 4)
+
+    world = room_world(rng)
+    prior_poses = [yaw_pose(0.0, [x, 0, 0]) for x in np.linspace(-6, 6, 7)]
+    pdir = str(tmp_path / "prior")
+    write_prior(pdir, rng, world, prior_poses)
+
+    calls = []
+    orig = icp_ops.register_run
+
+    def spy(mode, *a, **k):
+        calls.append(mode)
+        return orig(mode, *a, **k)
+
+    icp_ops.register_run = spy
+    try:
+        relo = OnlineRelocalizer(
+            pdir, ReloConfig(sc_dist_thresh=0.6, search_dis=12.0,
+                             reg_mode="fr_icp"))
+        tp = yaw_pose(0.0, [0.0, 0.5, 0.0])
+        out = relo.process(scan_from(world, tp, rng), tp.copy())
+    finally:
+        icp_ops.register_run = orig
+    assert out is not None and relo.initialized
+    assert calls and all(c == "fr_icp" for c in calls)
+    assert np.linalg.norm(out["pose"][4:7] - tp[4:7]) < 0.3

@@ -37,16 +37,12 @@ def build():
     subprocess.run(cmd, check=True)
 
 
-def dump_sequence(path: str, n_scans: int):
+def dump_sequence(path: str, n_scans: int, workload: str = "room"):
     sys.path.insert(0, REPO)
-    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.io.synthetic import make_bench_sequence
 
-    # identical to bench.py's workload
-    groups = list(make_lio_sequence(
-        duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
-        n_points=30_000, seed=7, noise=0.004,
-        traj=Trajectory(t_still=0.7, speed=3.0),
-    ))
+    # identical to bench.py's workload (shared factory)
+    groups = make_bench_sequence(workload, n_scans)
     with open(path, "wb") as f:
         f.write(struct.pack("<i", len(groups)))
         for g in groups:
@@ -71,11 +67,13 @@ def main():
     ap.add_argument("--threads", type=int, default=0,
                     help="0 = run both 1 thread and all cores")
     ap.add_argument("--scans", type=int, default=120)
+    ap.add_argument("--workload", default="room",
+                    help="room | outdoor (io.synthetic.make_bench_sequence)")
     args = ap.parse_args()
 
     build()
     dump = "/tmp/bench_cpu_ref_dump.bin"
-    groups = dump_sequence(dump, args.scans)
+    groups = dump_sequence(dump, args.scans, args.workload)
     # odometry starts at the world origin; ground truth starts at the
     # trajectory's initial position (x=y=0, z=height) — compare
     # displacements from the start

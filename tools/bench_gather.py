@@ -64,3 +64,67 @@ print("hash 7dense+7mom", f"{bench_chain(hash_path, dense, mom_hash):7.3f} ms", 
 print("torus 7 rows    ", f"{bench_chain(torus_rows_path, mom_torus):7.3f} ms", flush=True)
 print("torus (3,3)+2   ", f"{bench_chain(torus_slice_path, mom_torus):7.3f} ms", flush=True)
 print("torus zrun+4    ", f"{bench_chain(torus_zrun_path, mom_torus):7.3f} ms", flush=True)
+
+# --- round-3 variants: what does the (N,7) 48B row gather really cost? ---
+lin_t = None
+
+@jax.jit
+def torus_flat_lin(q, mom_torus):
+    nb = q[:, None, :] + offs[None]
+    G = 256 * 256 * 64
+    lin = ((nb[..., 0] & 255) * 256 + (nb[..., 1] & 255)) * 64 + (nb[..., 2] & 63)
+    rows = mom_torus.reshape(G, 12)[lin.reshape(-1)].reshape(-1, 7, 12)
+    return jnp.sum(rows, axis=(1, 2))
+
+mom_torus16 = jax.random.normal(key, (256, 256, 64, 16), jnp.float32)
+
+@jax.jit
+def torus_rows16(q, mom_torus16):
+    nb = q[:, None, :] + offs[None]
+    rows = mom_torus16[nb[..., 0] & 255, nb[..., 1] & 255, nb[..., 2] & 63]
+    return jnp.sum(rows, axis=(1, 2))
+
+# own-cell only (16k lanes x 48B): the floor of a 1-gather association
+@jax.jit
+def torus_own_only(q, mom_torus):
+    rows = mom_torus[q[:, 0] & 255, q[:, 1] & 255, q[:, 2] & 63]
+    return jnp.sum(rows, axis=1)
+
+# plane-table read: (N,) rows of 32B (8 ch)
+plane_tab = jax.random.normal(key, (256 * 256 * 64, 8), jnp.float32)
+
+@jax.jit
+def plane_read(q, plane_tab):
+    lin = ((q[:, 0] & 255) * 256 + (q[:, 1] & 255)) * 64 + (q[:, 2] & 63)
+    return jnp.sum(plane_tab[lin], axis=1)
+
+print("torus flat lin  ", f"{bench_chain(torus_flat_lin, mom_torus):7.3f} ms", flush=True)
+print("torus 7r 16ch   ", f"{bench_chain(torus_rows16, mom_torus16):7.3f} ms", flush=True)
+print("torus own only  ", f"{bench_chain(torus_own_only, mom_torus):7.3f} ms", flush=True)
+print("plane table read", f"{bench_chain(plane_read, plane_tab):7.3f} ms", flush=True)
+
+# flat (G,12) storage, reshaped to 4-D INSIDE jit for the gather: same
+# buffer, multi-dim index lowering
+mom_flat = mom_torus.reshape(-1, 12)
+
+@jax.jit
+def torus_flat_reshaped(q, mom_flat):
+    t4 = mom_flat.reshape(256, 256, 64, 12)
+    nb = q[:, None, :] + offs[None]
+    rows = t4[nb[..., 0] & 255, nb[..., 1] & 255, nb[..., 2] & 63]
+    return jnp.sum(rows, axis=(1, 2))
+
+# header read (tag,count 2ch) in both forms
+@jax.jit
+def hdr_flat(q, mom_flat):
+    lin = ((q[:, 0] & 255) * 256 + (q[:, 1] & 255)) * 64 + (q[:, 2] & 63)
+    return jnp.sum(mom_flat[lin, 0:2], axis=1)
+
+@jax.jit
+def hdr_4d(q, mom_flat):
+    t4 = mom_flat.reshape(256, 256, 64, 12)
+    return jnp.sum(t4[q[:, 0] & 255, q[:, 1] & 255, q[:, 2] & 63, 0:2], axis=1)
+
+print("torus flat->4d  ", f"{bench_chain(torus_flat_reshaped, mom_flat):7.3f} ms", flush=True)
+print("hdr flat lin    ", f"{bench_chain(hdr_flat, mom_flat):7.3f} ms", flush=True)
+print("hdr 4d          ", f"{bench_chain(hdr_4d, mom_flat):7.3f} ms", flush=True)

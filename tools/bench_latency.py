@@ -1,0 +1,135 @@
+"""Latency-mode measurement: window=1/2/4/8 throughput + per-scan
+pose-out latency percentiles (VERDICT r2 #3 / next-round #5).
+
+The reference is an online system — each scan is processed at arrival
+and its per-frame latency printed (src/laserMapping.cpp:2450, CSV at
+:2562-2574).  The W=8 headline window trades pose-out latency (up to 8
+scan periods + transport) for throughput; this tool quantifies the
+trade-off:
+
+  * throughput mode: feed scans back-to-back, report wall scans/s
+  * online mode: feed scans on the real 10 Hz sensor schedule, report
+    the p50/p90/max delay between a scan's ARRIVAL and its pose dict
+    popping out of the pipeline (includes window batching + transport)
+
+Prints one JSON line per window size.  Run via the watchdog (wedge-prone
+remote tunnel): `python tools/bench_latency.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _watchdog import child_ready, run_watchdog  # noqa: E402
+
+
+def main():
+    child_ready()
+    import numpy as np
+
+    from better_fastlio2_tpu.config import (IkdtreeConfig, LIOConfig,
+                                            MappingConfig, ShapesConfig)
+    from better_fastlio2_tpu.io.synthetic import make_bench_sequence
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+
+    def build_cfg():
+        cfg = LIOConfig()
+        cfg.shapes = ShapesConfig(
+            n_raw=1 << 15, n_ds=1 << 14, n_imu=16, map_capacity_log2=20,
+            map_bucket=4, map_max_probe=6, knn_chunk=1 << 14,
+            map_dense_log2=(8, 8, 7), knn_max_live=12,
+            insert_claim_budget=2048, insert_dense_budget=2048,
+            insert_mom_budget=4096)
+        cfg.mapping = MappingConfig(det_range=60.0, cube_len=400.0,
+                                    surf_leaf_size=0.5,
+                                    extrinsic_est_en=False)
+        cfg.ikdtree = IkdtreeConfig(
+            max_iteration=4, filter_size_map_min=0.5,
+            single_association=True, plane_cache=True,
+            plane_cache_warmup=16, mom_dense=True)
+        return cfg
+
+    n_scans = 120
+    groups = make_bench_sequence("room", n_scans)
+    print("# sequence ready", flush=True)
+
+    for W in (1, 2, 4, 8):
+        # ---- throughput mode (unthrottled) ------------------------------
+        pipe = LIOPipeline(build_cfg(), pipelined=True, window=W,
+                           quantized=(W > 1), unroll=W)
+        warm = 5 * max(W, 4)
+        t_mark = None
+        for i, g in enumerate(groups):
+            if pipe.inited and i == warm:
+                t_mark = time.perf_counter()
+            pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
+                              g["imu_gyr"], g["imu_t"], g["scan_beg_abs"],
+                              g["scan_end_t"])
+        pipe.flush()
+        dt = time.perf_counter() - t_mark
+        thpt = (n_scans - warm) / dt
+        print(f"# W={W} throughput {thpt:.1f} scans/s", flush=True)
+
+        # ---- online mode (10 Hz arrivals) -------------------------------
+        # the first 64 scans run unthrottled so both jit compiles land
+        # before the clocked phase; the 10 Hz schedule starts after
+        pipe = LIOPipeline(build_cfg(), pipelined=True, window=W,
+                           quantized=(W > 1), unroll=W)
+        t_in: list[float] = []
+        t_out: list[float] = []
+        clock_start = 64
+        t0 = None
+        n_returned = 0
+        for i, g in enumerate(groups):
+            if i == clock_start:
+                t0 = time.perf_counter()
+            if t0 is not None:
+                target = t0 + (i - clock_start) * 0.1  # 10 Hz schedule
+                now = time.perf_counter()
+                if now < target:
+                    time.sleep(target - now)
+            t_in.append(time.perf_counter())
+            out = pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
+                                    g["imu_gyr"], g["imu_t"],
+                                    g["scan_beg_abs"], g["scan_end_t"])
+            tnow = time.perf_counter()
+            # a call may pop 0 or 1 results; window flushes pop in order
+            while out is not None and n_returned < len(t_in):
+                t_out.append(tnow)
+                n_returned += 1
+                out = None
+                if pipe._results:
+                    out = pipe._results.pop(0)
+        pipe.flush()
+        tnow = time.perf_counter()
+        while n_returned < len(pipe.trajectory):
+            t_out.append(tnow)
+            n_returned += 1
+        # results are emitted IN ORDER for every post-init scan; the
+        # first few arrivals are consumed by IMU init and never produce
+        # a result — align by the tail
+        offset = len(t_in) - n_returned
+        lat = 1e3 * (np.array(t_out) - np.array(t_in[offset:]))
+        # keep only the clocked steady phase (scan >= clock_start + 2W)
+        j0 = max(0, clock_start + 2 * W - offset)
+        steady = lat[j0:]
+        print(json.dumps({
+            "metric": "latency_mode", "window": W,
+            "throughput_scans_per_sec": round(thpt, 1),
+            "online_latency_ms_p50": round(float(np.percentile(steady, 50)), 1),
+            "online_latency_ms_p90": round(float(np.percentile(steady, 90)), 1),
+            "online_latency_ms_max": round(float(np.max(steady)), 1),
+            "n_steady": int(len(steady)),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(run_watchdog(__file__))
