@@ -233,7 +233,11 @@ def main():
                                 # row-gather association, hash-free
                                 # steady insert (torus-wrap forgetting
                                 # replaces the FoV crop)
-                                mom_dense=True)
+                                mom_dense=True,
+                                # skip the confirmation pass when the
+                                # refresh trigger certifies it would
+                                # recompute an identical system
+                                early_converge=True)
 
     n_scans = 160  # 15 timed windows past warmup — steadier median
     window = 8  # scans per device program (amortises the ~30 ms

@@ -84,6 +84,13 @@ class IkdtreeConfig:
     # single_association is on and extrinsic estimation is off; ignored
     # (jnp path) otherwise
     fused_solve: bool = True
+    # exit the iterated update on the FIRST converged pass when the
+    # cached-association refresh trigger certifies a re-association
+    # would change nothing (measurement.make_measure_fn early_converge;
+    # fused path only).  Saves 1-2 solve passes/scan; trajectory impact
+    # bounded by the convergence limit.  Off by default = reference pass
+    # semantics (esekfom.hpp:1846-1851).
+    early_converge: bool = False
     # steady-state DENSE moment table (voxel_hash.insert_dense_moments):
     # after the plane-cache warmup, moments move into a tag-validated
     # table addressed by torus coordinates — the association becomes ONE
@@ -220,6 +227,7 @@ class LIOConfig:
             ("mom_cap", "mom_cap"),
             ("fused_solve", "fused_solve"),
             ("mom_dense", "mom_dense"),
+            ("early_converge", "early_converge"),
         ]:
             if k_src in kd:
                 setattr(cfg.ikdtree, k_dst, kd[k_src])

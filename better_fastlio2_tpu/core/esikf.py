@@ -202,6 +202,14 @@ class MeasurementOut(NamedTuple):
     mask: jax.Array
     aux: object = None
     gram: jax.Array | None = None
+    # Optional () bool: "a post-convergence re-association would change
+    # nothing" — when set and True, the iterated update may exit on the
+    # FIRST converged pass instead of running the reference's
+    # confirmation pass (esekfom.hpp:1846-1851), whose only purpose is
+    # the re-association.  The cached-association fused model sets this
+    # from its lazy-refresh trigger (measurement.make_measure_fn
+    # early_converge); None keeps reference pass semantics.
+    early_ok: jax.Array | None = None
 
 
 def _dx_transport(dx: jax.Array, x: State, x_prop: State) -> tuple[jax.Array, jax.Array]:
@@ -424,6 +432,10 @@ def update_iterated(
         t_new = jnp.where(converged, t + 1, t)
         conv_next = converged | ((t_new == 0) & (i == max_iter - 1))
         done = (t_new > 1) | (i >= max_iter)
+        if m.early_ok is not None:
+            # the model certifies the confirmation pass would recompute
+            # an identical system — exit on the first converged pass
+            done = done | (converged & m.early_ok)
 
         out = {
             "x": x_new,

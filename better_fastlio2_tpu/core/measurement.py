@@ -327,6 +327,7 @@ def make_measure_fn(
     plane_cache: bool = False,
     refresh_budget: int = 4096,
     fused_solve: bool = False,
+    early_converge: bool = False,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -350,6 +351,14 @@ def make_measure_fn(
     plane_cache=True replaces the 5-NN + plane fit with the per-voxel
     moment-cache plane (plane_from_moments) — the map must be allocated
     with moments=True.
+    early_converge=True (fused path only) lets the iterated update exit
+    on the FIRST converged pass whenever the lazy-refresh trigger
+    certifies a re-association would change nothing (n_moved below the
+    fire threshold): the reference's confirmation pass
+    (esekfom.hpp:1846-1851) exists only to re-associate, and with the
+    cached association it recomputes a bit-identical system — skipping
+    it saves ~1-2 solve passes per scan at < limit (1e-3) trajectory
+    impact (tests/test_fused_solve.py bounds it).
     fused_solve=True (requires single_association and extrinsic_est off)
     runs each solve iteration as ONE fused Pallas pass
     (ops/pallas_kernels.fused_normal_eqs): transform, residual, robust
@@ -384,7 +393,8 @@ def make_measure_fn(
         assert not extrinsic_est, "fused_solve requires extrinsic_est off"
         assert single_association, "fused_solve requires single_association"
         return _make_fused_measure(
-            m, pts_body, pts_valid, search_rows, refresh_budget)
+            m, pts_body, pts_valid, search_rows, refresh_budget,
+            early_converge=early_converge)
 
     def measure(s: State, converged: jax.Array, aux: MeasureAux) -> MeasurementOut:
         p_world = transform_to_world(s, pts_body)
@@ -464,7 +474,7 @@ def make_measure_fn(
 
 
 def _make_fused_measure(m, pts_body, pts_valid, search_rows,
-                        refresh_budget: int):
+                        refresh_budget: int, early_converge: bool = False):
     """Fused-solve variant of make_measure_fn's measure closure (see its
     docstring).  Association packs a (16, N) SoA buffer once per scan;
     every iteration is one fused_normal_eqs pass producing the Gram
@@ -536,9 +546,19 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
                 lambda: (G, n_moved),
             )
 
+        if early_converge:
+            # re-association would change nothing when the voxel-moved
+            # trigger wouldn't fire (or the one refresh already ran)
+            would_fire = (
+                (n_moved * 20.0 > n_val_scan)
+                & jnp.logical_not(aux.refreshed)
+            ) if refresh_budget > 0 else jnp.array(False)
+            early_ok = jnp.logical_not(would_fire)
+        else:
+            early_ok = None
         return MeasurementOut(
             h_x=jnp.zeros((0, 6), dtype), h=jnp.zeros(0, dtype),
-            mask=jnp.zeros(0, bool), aux=aux, gram=G,
+            mask=jnp.zeros(0, bool), aux=aux, gram=G, early_ok=early_ok,
         )
 
     aux0 = MeasureAux(

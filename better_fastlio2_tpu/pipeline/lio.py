@@ -192,6 +192,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 and getattr(cfg.ikdtree, "single_association", False)
                 and not mp.extrinsic_est_en
             )),
+            early_converge=getattr(cfg.ikdtree, "early_converge", False),
         )
 
         def do_update(_):

@@ -154,3 +154,29 @@ def test_fused_requires_flags():
         measurement.make_measure_fn(
             m, scan, valid, single_association=True, extrinsic_est=True,
             fused_solve=True)
+
+
+def test_early_converge_bounds_and_saves_passes():
+    """early_converge exits on the first converged pass when the refresh
+    trigger certifies re-association is a no-op: iteration count drops,
+    and the state stays within the convergence limit of the full run."""
+    m, scan, valid, x0, P0 = _toy_problem(plane_cache=True)
+
+    outs = []
+    for early in (False, True):
+        measure, aux0 = measurement.make_measure_fn(
+            m, scan, valid, single_association=True, plane_cache=True,
+            fused_solve=True, early_converge=early,
+        )
+        x, P, _, info = esikf.update_iterated(
+            x0, P0, measure, aux0, max_iter=4, n_cols=6)
+        outs.append((x, P, info))
+    (x_f, P_f, i_f), (x_e, P_e, i_e) = outs
+    assert int(i_e["iters"]) <= int(i_f["iters"])
+    # bounded by the convergence limit (1e-3 per component), not bitwise
+    np.testing.assert_allclose(np.asarray(x_e.pos), np.asarray(x_f.pos),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(x_e.rot), np.asarray(x_f.rot),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(P_e), np.asarray(P_f),
+                               rtol=0.05, atol=1e-4)

@@ -72,6 +72,11 @@ def test_compiled_fused_normal_eqs_matches_reference():
 
 if __name__ == "__main__":
     # standalone driver-runnable mode (no conftest CPU forcing)
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     res = _run_parity()
     for N, err in res:
         print(f"N={N:6d}: compiled vs jnp max |dG| = {err:.3e}")
