@@ -239,7 +239,8 @@ def main():
                                 # recompute an identical system
                                 early_converge=True)
 
-    n_scans = 160  # 15 timed windows past warmup — steadier median
+    n_scans = 240  # 25 timed windows past warmup — steadier median
+    # (r2 review: 15 windows at cv~0.35 was a wide interval)
     window = 8  # scans per device program (amortises the ~30 ms
     # readback round trip + ~1.4 ms program launch of the remote-TPU
     # transport; tools/profile_micro3.py)
@@ -334,7 +335,7 @@ def main():
     # groups of chained windows with one sync each; the median group
     # rejects the multi-second stalls the remote transport occasionally
     # injects (a single mean over all reps absorbed them before)
-    chain, n_groups = 3, 4
+    chain, n_groups = 3, 8  # median of 8 groups — stall-robust
     group_ms = []
     for _g in range(n_groups):
         t0 = time.perf_counter()

@@ -250,6 +250,26 @@ def _inv3(M: jax.Array) -> jax.Array:
     ]) / det
 
 
+def _inv6(M: jax.Array) -> jax.Array:
+    """Closed-form 6x6 inverse via 3x3 block Schur complement — every
+    step is adjugate/det 3x3 arithmetic (_inv3), no factorization: a
+    pivoted LU on TPU is a serial latency chain, and the fused update
+    pays it once per ESIKF iteration.  Valid for the well-conditioned
+    M6 = I + HTH (P/R) + jitter the Woodbury gain builds."""
+    A, B = M[0:3, 0:3], M[0:3, 3:6]
+    C, D = M[3:6, 0:3], M[3:6, 3:6]
+    Ai = _inv3(A)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    Si = _inv3(D - C @ AiB)
+    TR = -AiB @ Si
+    BL = -Si @ CAi
+    TL = Ai - AiB @ BL
+    return jnp.concatenate(
+        [jnp.concatenate([TL, TR], axis=1),
+         jnp.concatenate([BL, Si], axis=1)], axis=0)
+
+
 def _inv2(M: jax.Array) -> jax.Array:
     det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
     return jnp.stack([
@@ -402,7 +422,9 @@ def update_iterated(
             # but keeps the unsymmetrized LU bounded if P drifts
             # near-indefinite under long f32 accumulation
             M6 = M6 + (1e-6 / K) * jnp.sum(jnp.abs(jnp.diag(M6))) * eyeK
-            P_inv12 = jnp.linalg.solve(M6.T, P6.T).T
+            # X = solve(M6^T, P6^T)^T == P6 @ M6^-1; the closed-form
+            # block inverse avoids the serial pivoted-LU lowering
+            P_inv12 = P6 @ _inv6(M6)
         else:
             T, dx_new = _dx_transport(dx, x, x_prop)
             P = T @ P_prop @ T.T

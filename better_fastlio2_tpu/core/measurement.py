@@ -148,10 +148,12 @@ def neighborhood_moment_sums(
         dense_shape = m.dense.shape
         lin = voxel_hash._dense_linear(dense_shape, nb)  # (N, NB)
         tag = voxel_hash._alias_tag(dense_shape, nb).astype(dtype)
-        # one 1-D-indexed row gather PER OFFSET: XLA lowers N-lane
-        # 1-D-index gathers measurably faster than a single (N, NB)
-        # 2-D-index gather of the same rows (profile_ablate2 A/B; 4-D
-        # multi-dim indexing is worse still)
+        # one 1-D-indexed row gather PER OFFSET.  Lowering variants
+        # A/B-measured in profile_ablate2 (ms/scan full window): this
+        # form 7.6-7.7; single (N, NB) 2-D-index gather +0.44; 4-D
+        # multi-dim indexing ~21; vmap(dynamic_slice) (3, CH)-slices for
+        # the contiguous z-run ~51 (!).  XLA's gather lowering on this
+        # backend strongly prefers plain 1-D row indexing.
         mask_ok = cell_mask_fn(nb) if cell_mask_fn is not None else None
         rows_l = []
         for j in range(NB):

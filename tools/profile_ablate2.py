@@ -176,6 +176,21 @@ def main():
     ls0 = pipe_n.ls
     full = timed(cfg_new, ls0, win_n, an, "B: mom_dense full window", [])
 
+    if "--iters" in sys.argv:
+        # per-iteration cost probe: same program with max_iteration 2 —
+        # the window-time delta / (iteration-count delta) prices ONE
+        # solve pass (kernel + glue), deciding whether a mega-kernel
+        # (all iterations in one pallas_call) is worth building
+        cfg2 = build_cfg(True)
+        cfg2.ikdtree.max_iteration = 2
+        pipe2, win2 = run_pipe(cfg2)
+        timed(cfg2, pipe2.ls, win2, an, "B max_iteration=2", [])
+        cfg1 = build_cfg(True)
+        cfg1.ikdtree.max_iteration = 1
+        pipe1, win1 = run_pipe(cfg1)
+        timed(cfg1, pipe1.ls, win1, an, "B max_iteration=1", [])
+        return
+
     if "--quick" in sys.argv:  # A/B only — fast iteration on patches
         return
 
