@@ -181,3 +181,48 @@ def test_lio_mom_dense_tracks_trajectory():
     ate = np.sqrt(np.mean(np.square(errs)))
     assert ate < 0.10, f"mom_dense ATE RMSE {ate:.3f} m"
     assert errs[-1] < 0.15
+
+
+@pytest.mark.slow
+def test_window_quantized_mom_dense_matches_single_scan():
+    """The bench-path combination (W>1 window + quantized wire +
+    mom_dense + early_converge) must track like the single-scan path —
+    this is the exact program bench.py times, exercised here on CPU."""
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+    from tests.test_lio_pipeline import small_cfg
+
+    def cfg():
+        c = small_cfg()
+        c.ikdtree.plane_cache = True
+        c.ikdtree.plane_cache_warmup = 12
+        c.ikdtree.mom_dense = True
+        c.ikdtree.single_association = True
+        c.ikdtree.early_converge = True
+        c.shapes.map_dense_log2 = (8, 8, 5)
+        c.shapes.insert_mom_budget = 1024
+        return c
+
+    groups = make_lio_sequence(
+        duration=4.0, scan_rate=10.0, imu_rate=100.0, n_points=4000, seed=3,
+        noise=0.004, traj=Trajectory(t_still=1.0, speed=2.0),
+    )
+    origin = np.array([0.0, 0.0, 1.5])
+
+    def run(**kw):
+        pipe = LIOPipeline(cfg(), **kw)
+        for g in groups:
+            pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
+                              g["imu_gyr"], g["imu_t"], g["scan_beg_abs"],
+                              g["scan_end_t"])
+        pipe.flush()
+        traj = np.asarray(pipe.trajectory)
+        gts = np.stack([g["gt_pos"] for g in groups[-len(traj):]]) - origin
+        errs = np.linalg.norm(traj[:, :3] - gts, axis=1)
+        return float(np.sqrt(np.mean(errs ** 2)))
+
+    ate_single = run()
+    ate_win = run(pipelined=True, window=4, quantized=True, unroll=4)
+    assert ate_win < 0.12, f"windowed mom_dense ATE {ate_win:.3f}"
+    # quantization steps are mm-scale: the two paths agree closely
+    assert abs(ate_win - ate_single) < 0.05, (ate_win, ate_single)
