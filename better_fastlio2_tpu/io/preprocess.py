@@ -31,7 +31,29 @@ __all__ = [
     "preprocess_velodyne",
     "preprocess_ouster",
     "preprocess_robosense",
+    "handler_for",
 ]
+
+
+def handler_for(pre_cfg):
+    """The decode handler a PreprocessConfig selects — the dispatch of
+    Preprocess::process (preprocess.cpp:51-63: lidar_type, plus the
+    livox_type custom-msg/PointCloud2 split of config/hap_ros.yaml).
+    Returns a callable taking the vendor-specific raw arrays; callers
+    feeding their own sensor stream use this so the yaml keys
+    (lidar_type / livox_type) are authoritative."""
+    lt = int(getattr(pre_cfg, "lidar_type", 1))
+    if lt == 1:
+        if int(getattr(pre_cfg, "livox_type", 1)) == 2:
+            return preprocess_livox_ros
+        return preprocess_livox
+    if lt == 2:
+        return preprocess_velodyne
+    if lt == 3:
+        return preprocess_ouster
+    if lt == 4:
+        return preprocess_robosense
+    raise ValueError(f"unknown lidar_type {lt}")
 
 TIME_UNIT_SCALE = {0: 1.0, 1: 1e-3, 2: 1e-6, 3: 1e-9}
 

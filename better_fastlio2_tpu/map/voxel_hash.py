@@ -675,7 +675,10 @@ def insert_dense_moments(
     hdr = dmom[jnp.minimum(lin, G - 1), 0:2]  # (n, 2): [tag, count]
     own = (hdr[:, 0] == tag) & valid
     n_seen = jnp.where(own, hdr[:, 1], 0.0)
-    need = valid & (n_seen < mom_cap)
+    # mom_cap <= 0 = unbounded, matching insert()'s contract (a literal
+    # `n_seen < 0` would silently freeze the table forever)
+    cap = float(mom_cap) if mom_cap > 0 else jnp.inf
+    need = valid & (n_seen < cap)
 
     sel = jnp.nonzero(need, size=mom_budget, fill_value=n)[0].astype(
         jnp.int32)
@@ -1063,4 +1066,10 @@ def rebuild(
         ok = live_slot & (new_slot >= 0)
         mom = out.mom.at[jnp.where(ok, new_slot, C)].set(m.mom, mode="drop")
         out = out._replace(mom=mom)
+    if m.dmom is not None:
+        # the dense moment table is keyed by torus address + alias tag,
+        # not by slots — rebuilding the hash table does not invalidate
+        # it; dropping it here would silently revert a mom_dense run to
+        # its warmup-frozen slot moments at the next _ensure_dmom
+        out = out._replace(dmom=m.dmom)
     return out

@@ -365,7 +365,11 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         ds_loc, dv_loc = voxel_downsample(
             pts_body, pt_valid, mp.surf_leaf_size, out_size=n_ds_loc
         )
-        pos_scale = jnp.asarray(120.0 / 32767.0, dtype)
+        # scale sized to the config's sensor range (not a fixed 120 m —
+        # a 260 m det_range config would silently clip): quantization
+        # step stays sub-noise (det_range/32767, e.g. 8 mm at 260 m)
+        pos_scale = jnp.asarray(
+            max(1.1 * mp.det_range, 120.0) / 32767.0, dtype)
         ds_q = jnp.clip(jnp.round(ds_loc / pos_scale),
                         -32767, 32767).astype(jnp.int16)
         ds_all = (jax.lax.all_gather(ds_q, axis).reshape(-1, 3)

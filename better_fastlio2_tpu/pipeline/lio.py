@@ -126,6 +126,15 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
     if mom_dense:
         assert sh.map_dense_log2 is not None, (
             "mom_dense requires shapes.map_dense_log2")
+        # insert_dense_moments assumes <= 1 point per voxel per batch
+        # (its delta-scatter corrupts a cell written twice in one batch);
+        # that contract holds exactly when the scan downsample leaf
+        # equals the map voxel (the pre_grouped condition of the hash
+        # insert)
+        assert mp.surf_leaf_size == cfg.ikdtree.filter_size_map_min, (
+            "mom_dense requires surf_leaf_size == filter_size_map_min "
+            f"(got {mp.surf_leaf_size} vs "
+            f"{cfg.ikdtree.filter_size_map_min})")
 
     def step(
         ls: LIOState,

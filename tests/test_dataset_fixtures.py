@@ -226,3 +226,71 @@ def test_nclt_scaling_golden():
     os.unlink(name)
     np.testing.assert_allclose(xyz[0], [0.0, 23.0, -100.0], atol=1e-6)
     assert inten[0] == 42
+
+
+def test_handler_dispatch_honors_lidar_and_livox_type():
+    """The yaml keys lidar_type/livox_type are authoritative for decode
+    selection (Preprocess::process dispatch, preprocess.cpp:51-63 +
+    config/hap_ros.yaml's livox_type split)."""
+    from better_fastlio2_tpu.config import LIOConfig
+    from better_fastlio2_tpu.io import preprocess as pp
+
+    cfg = LIOConfig()
+    assert pp.handler_for(cfg.preprocess) is pp.preprocess_livox
+    cfg.preprocess.livox_type = 2
+    assert pp.handler_for(cfg.preprocess) is pp.preprocess_livox_ros
+    cfg.preprocess.lidar_type = 2
+    assert pp.handler_for(cfg.preprocess) is pp.preprocess_velodyne
+    cfg.preprocess.lidar_type = 3
+    assert pp.handler_for(cfg.preprocess) is pp.preprocess_ouster
+    cfg.preprocess.lidar_type = 4
+    assert pp.handler_for(cfg.preprocess) is pp.preprocess_robosense
+
+    # the shipped hap_ros.yaml selects the PointCloud2 decode
+    import os
+    from better_fastlio2_tpu.config import load_yaml
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hap = load_yaml(os.path.join(repo, "configs", "hap_ros.yaml"))
+    assert pp.handler_for(hap.preprocess) is pp.preprocess_livox_ros
+
+
+def test_livox_ros_decode_gates():
+    """livoxros_handler behavior (preprocess.cpp:477-526): line/tag
+    gates, duplicate suppression, blind cull, zero per-point time."""
+    from better_fastlio2_tpu.io.preprocess import preprocess_livox_ros
+
+    rng = np.random.default_rng(3)
+    n = 500
+    pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    pts[5] = pts[4]  # consecutive duplicate -> suppressed
+    pts[10] = [0.5, 0.5, 0.5]  # inside blind radius
+    tag = np.full(n, 0x10, np.uint8)
+    tag[20:40] = 0x20  # bad return type
+    line = np.zeros(n, np.int64)
+    line[50:60] = 9  # beyond n_scans
+    p, t, i = preprocess_livox_ros(pts, np.ones(n, np.float32), tag, line,
+                                   n_scans=6, blind=4.0, point_filter_num=1)
+    assert np.all(t == 0.0)
+    kept = len(p)
+    assert kept <= n - 20 - 10 - 2  # tag + line + dup/blind culls
+    assert np.all(np.linalg.norm(p, axis=1) > 4.0)
+
+
+def test_camera_model_from_yaml_block():
+    """camera: yaml block -> CameraModel (paramSetting,
+    laserMapping.cpp:279-290; config/hap_ros.yaml layout)."""
+    import os
+
+    import yaml
+
+    from better_fastlio2_tpu.perception.colorize import CameraModel
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    blk = yaml.safe_load(open(os.path.join(repo, "configs",
+                                           "hap_ros.yaml")))["camera"]
+    cam = CameraModel.from_config(blk, width=1280, height=720)
+    assert cam.intrinsics.shape == (3, 4) and cam.extrinsics.shape == (4, 4)
+    # a point straight ahead of the LiDAR projects inside the image
+    uv, depth, ok = cam.project(np.array([[5.0, 0.0, 0.0]]))
+    assert bool(ok[0]) and depth[0] > 0
+    assert 0 <= uv[0, 0] < 1280 and 0 <= uv[0, 1] < 720

@@ -226,3 +226,34 @@ def test_window_quantized_mom_dense_matches_single_scan():
     assert ate_win < 0.12, f"windowed mom_dense ATE {ate_win:.3f}"
     # quantization steps are mm-scale: the two paths agree closely
     assert abs(ate_win - ate_single) < 0.05, (ate_win, ate_single)
+
+
+def test_mom_cap_zero_means_unbounded():
+    """mom_cap <= 0 is 'uncapped' (insert()'s contract) — a literal
+    n_seen < 0 gate would freeze the dense table forever."""
+    voxel = 1.0
+    m = _mk(voxel=voxel, dense=(5, 5, 5))
+    dshape = m.dense.shape
+    dmom = jnp.zeros((32 * 32 * 32, vh.DMOM_CH), jnp.float32)
+    p = jnp.asarray([[2.5, 2.5, 2.5]], jnp.float32)
+    v = jnp.ones(1, bool)
+    for _ in range(5):
+        dmom, _ = vh.insert_dense_moments(dmom, dshape, m.voxel_size,
+                                          p, v, mom_cap=0, mom_budget=4)
+    lin = vh._dense_linear(dshape, jnp.asarray([[2, 2, 2]]))
+    assert float(np.asarray(dmom[lin])[0, 1]) == 5.0  # kept accumulating
+
+
+def test_rebuild_carries_dense_moment_table(rng):
+    """rebuild() must carry dmom through — it is keyed by torus address
+    + alias tag, not slots, so hash-table compaction cannot invalidate
+    it (dropping it would revert a mom_dense run to warmup content)."""
+    m = _mk()
+    pts = rng.uniform(-20, 20, size=(800, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-10, 10, size=800).astype(np.float32)
+    m = vh.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    dmom = vh.build_dense_moments(m, center=np.zeros(3))
+    m = m._replace(dmom=dmom)
+    mr = vh.rebuild(m, center=np.zeros(3))
+    assert mr.dmom is not None
+    np.testing.assert_array_equal(np.asarray(mr.dmom), np.asarray(dmom))

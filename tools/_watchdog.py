@@ -64,9 +64,16 @@ def run_watchdog(script_path: str, attempts: int = 4,
                 done = ln is None
                 break
             print(ln, end="", flush=True)
-        p.kill(); p.wait()
         if done:
-            return 0
+            # EOF: the child exited on its own — propagate its status
+            # (a mid-run crash after READY must not read as success)
+            rc = p.wait()
+            if rc == 0:
+                return 0
+            print(f"child exited rc={rc} (attempt {attempt})",
+                  file=sys.stderr)
+            continue
+        p.kill(); p.wait()
         print(f"child stalled (attempt {attempt})", file=sys.stderr)
     return 1
 

@@ -23,72 +23,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-READY_DEADLINE_S = 150
-CHILD_DEADLINE_S = 1500
-
-
-def _read_line(fd, buf, deadline):
-    """(line | None(EOF) | 'timeout', buf) — select-based, never blocks
-    past deadline (a wedged child emits nothing, ever)."""
-    import select as _select
-
-    while True:
-        nl = buf.find(b"\n")
-        if nl >= 0:
-            return buf[: nl + 1].decode(), buf[nl + 1:]
-        if time.time() >= deadline:
-            return "timeout", buf
-        r, _, _ = _select.select([fd], [], [], 1.0)
-        if r:
-            chunk = os.read(fd, 65536)
-            if chunk == b"":
-                return None, buf
-            buf += chunk
-
-
-def watchdog():
-    for attempt in range(4):
-        p = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child"]
-            + [a for a in sys.argv[1:] if a != "--child"],
-            stdout=subprocess.PIPE, stderr=sys.stderr)
-        fd = p.stdout.fileno()
-        buf = b""
-        ln, buf = _read_line(fd, buf, time.time() + READY_DEADLINE_S)
-        if ln != "READY\n":
-            p.kill(); p.wait()
-            print(f"child wedged pre-READY (attempt {attempt})",
-                  file=sys.stderr)
-            continue
-        total = time.time() + CHILD_DEADLINE_S
-        done = False
-        while True:
-            # no-progress window: each stage prints within ~2 min on a
-            # healthy tunnel; silence past that means a mid-run wedge
-            ln, buf = _read_line(fd, buf, min(time.time() + 480.0, total))
-            if ln == "timeout" or ln is None:
-                done = ln is None
-                break
-            print(ln, end="", flush=True)
-        p.kill(); p.wait()
-        if done:
-            return 0
-        print(f"child stalled (attempt {attempt})", file=sys.stderr)
-    return 1
+from _watchdog import child_ready, run_watchdog  # noqa: E402
 
 
 def main():
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bflio2")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
     import jax.numpy as jnp
     import numpy as np
 
-    jnp.zeros(8).block_until_ready()
-    print("READY", flush=True)
+    child_ready()
 
     from better_fastlio2_tpu import config as cfgmod
     from better_fastlio2_tpu.core import esikf, imu
@@ -253,4 +196,4 @@ if __name__ == "__main__":
     if "--child" in sys.argv:
         main()
     else:
-        sys.exit(watchdog())
+        sys.exit(run_watchdog(__file__, child_deadline_s=1500))
