@@ -17,9 +17,10 @@ processes ~50% of the time in bad windows):
 from __future__ import annotations
 
 import os
-import subprocess
+
 import sys
 import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
