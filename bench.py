@@ -239,9 +239,11 @@ def main():
                                 # recompute an identical system
                                 early_converge=True)
 
-    n_scans = 240  # 25 timed windows past warmup — steadier median
+    n_scans = 240  # 10 timed W=16 windows past warmup (the 60 m room
+    # bounds the run: at 3 m/s the trajectory exits the world past ~26 s
+    # and the accuracy gate rightly fires)
     # (r2 review: 15 windows at cv~0.35 was a wide interval)
-    window = 8  # scans per device program (amortises the ~30 ms
+    window = 16  # scans per device program (amortises the ~30 ms
     # readback round trip + ~1.4 ms program launch of the remote-TPU
     # transport; tools/profile_micro3.py)
     groups = make_bench_sequence(workload, n_scans)
