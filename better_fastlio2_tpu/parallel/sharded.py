@@ -352,12 +352,14 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         )
         pts_body = imu_mod.undistort(x_prop, poses, pts, pt_t)
 
-        # local downsample of the shard, then all_gather the batch in
-        # the v2 quantized wire format (int16 @ POS_SCALE ~3.7 mm steps,
-        # below sensor noise — the same format the host->device path
-        # ships, pipeline/lio.py POS_SCALE): halves the dominant
-        # all_gather payload.  Invalid rows quantize to 0 harmlessly
-        # (dv_all masks them).  The moment-partial psum stays f32: a
+        # local downsample of the shard, then all_gather the batch as
+        # int16 positions (same idea as the host->device v2 wire format
+        # of pipeline/lio.py, but with a per-config scale derived from
+        # det_range below, NOT the fixed POS_SCALE constant): halves the
+        # dominant all_gather payload at a sub-noise quantization step.
+        # Invalid rows quantize to 0 harmlessly (dv_all masks them);
+        # points beyond the clip range saturate silently — upstream
+        # det_range culling is what keeps them in range.  The moment-partial psum stays f32: a
         # psum accumulates quantization error D-fold and exact
         # cross-shard additivity is what makes the sharded blend equal
         # the single-chip one.

@@ -135,6 +135,36 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             "mom_dense requires surf_leaf_size == filter_size_map_min "
             f"(got {mp.surf_leaf_size} vs "
             f"{cfg.ikdtree.filter_size_map_min})")
+        # ... and the torus must span one scan's point extent per axis:
+        # two distinct voxels of one insert batch must never alias to
+        # the same torus cell, or insert_dense_moments' delta-scatter
+        # (contrib - gathered old) silently corrupts dmom rows.  Points
+        # reaching the map are within det_range of the sensor, so the
+        # within-batch spread is <= 2*det_range horizontally — a hard
+        # geometric bound for a 360-deg scanner, asserted.  Vertically
+        # the spread is bounded by the lidar's vertical FoV, which the
+        # config does not carry — warn below det_range (covers +-30 deg)
+        # instead of failing valid indoor configs.  Cross-SCAN aliasing
+        # is handled by the cell tags + torus-wrap forgetting, not here.
+        for ax, lg in enumerate(sh.map_dense_log2):
+            span = (1 << lg) * cfg.ikdtree.filter_size_map_min
+            if ax < 2:
+                assert 2.0 * mp.det_range <= span, (
+                    f"mom_dense torus axis {ax} spans {span:.0f} m "
+                    f"(2^{lg} cells x {cfg.ikdtree.filter_size_map_min} "
+                    f"m) < 2*det_range = {2.0 * mp.det_range:.0f} m: "
+                    "distinct voxels in one scan batch would alias; "
+                    "raise shapes.map_dense_log2 or lower "
+                    "mapping.det_range")
+            elif span < mp.det_range:
+                import warnings
+
+                warnings.warn(
+                    f"mom_dense torus z axis spans {span:.0f} m < "
+                    f"det_range = {mp.det_range:.0f} m: scans whose "
+                    "vertical point spread exceeds the span would alias "
+                    "distinct voxels in one batch (fine for indoor / "
+                    "narrow-FoV sensors)", stacklevel=2)
 
     def step(
         ls: LIOState,

@@ -161,6 +161,7 @@ def test_lio_mom_dense_tracks_trajectory():
     cfg.ikdtree.plane_cache_warmup = 12
     cfg.ikdtree.mom_dense = True
     cfg.ikdtree.single_association = True
+    cfg.mapping.det_range = 20.0  # tiny room world; 2*det_range must fit the torus x/y span
     cfg.shapes.map_dense_log2 = (8, 8, 5)
     cfg.shapes.insert_mom_budget = 1024
     groups = make_lio_sequence(
@@ -199,6 +200,7 @@ def test_window_quantized_mom_dense_matches_single_scan():
         c.ikdtree.mom_dense = True
         c.ikdtree.single_association = True
         c.ikdtree.early_converge = True
+        c.mapping.det_range = 20.0
         c.shapes.map_dense_log2 = (8, 8, 5)
         c.shapes.insert_mom_budget = 1024
         return c
