@@ -231,6 +231,12 @@ def main():
         # moment scatter compacts to <= mom_budget unsaturated rows
         # (scatter lanes cost ~3x gather lanes on v5e)
         insert_mom_budget=4096,
+        # outdoor: ~25% of lanes die at the plane/robust gates (clutter,
+        # movers — assoc_valid_frac 0.74-0.78), so the per-iteration
+        # fused solve compacts to the live lanes; room's 0.95 hit rate
+        # would overflow the budget every scan (permanent fallback), so
+        # it stays off there
+        solve_compact=(3 * (1 << 14)) // 4 if workload == "outdoor" else 0,
     )
     cfg.mapping = MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.5,

@@ -77,6 +77,7 @@ class MultiSessionMerger:
         self.nc, self.nq = nc, nq
         self.sc_pairs: list[tuple[int, int]] = []  # (central, query)
         self.rs_pairs: list[tuple[int, int]] = []
+        self._poses_bfr: np.ndarray | None = None  # run() snapshots
         self._clouds_c = [None] * nc
         self._clouds_q = [None] * nq
 
@@ -311,6 +312,11 @@ class MultiSessionMerger:
     # -- the full run (run(), :349-380) -------------------------------------
     def run(self):
         self.optimize()
+        # before-loop snapshot: the reference writes *_bfr trajectories
+        # from exactly this state (run() :349-380 calls
+        # writeAllSessionsTrajectories("bfr") after the initial optimize,
+        # before any inter-session factor exists)
+        self._poses_bfr = np.array(self.graph.poses, np.float64)
         sc_hits, rs_cands = self.detect_sc_loops()
         n_sc = self.add_sc_loops(sc_hits)
         self.optimize()
@@ -330,11 +336,43 @@ class MultiSessionMerger:
             )
         )
 
+    def _write_trajectories(self, out_dir: str, poses: np.ndarray,
+                            postfix: str):
+        """writeAllSessionsTrajectories (:293-347) for one stage: per
+        session both the LOCAL (anchor-removed) and the CENTRAL
+        (anchor-composed) trajectory.  In this repo's world-pose gauge
+        the graph poses ARE the central-frame poses; the local ones are
+        A_s^-1 ∘ W with A recovered per stage as A = W_s0 ∘ X_s0^-1."""
+        for (name, sess, base, n) in [("central", self.central, 0, self.nc),
+                                      ("query", self.query, self.nc,
+                                       self.nq)]:
+            anchor = se3.compose(
+                jnp.asarray(poses[base]),
+                se3.inverse(jnp.asarray(sess.poses[0])))
+            a_inv = se3.inverse(anchor)
+            fl = open(os.path.join(out_dir,
+                                   f"{name}_local_{postfix}.txt"), "w")
+            fc = open(os.path.join(out_dir,
+                                   f"{name}_central_{postfix}.txt"), "w")
+            for k in range(n):
+                w = poses[base + k]
+                Rc = np.asarray(so3.quat_to_matrix(jnp.asarray(w[:4])))
+                fc.write(kitti_pose_line(Rc, w[4:7]) + "\n")
+                loc = np.asarray(se3.compose(a_inv, jnp.asarray(w)))
+                Rl = np.asarray(so3.quat_to_matrix(jnp.asarray(loc[:4])))
+                fl.write(kitti_pose_line(Rl, loc[4:7]) + "\n")
+            fl.close()
+            fc.close()
+
     def write_outputs(self, out_dir: str):
-        """writeAllSessionsTrajectories (:293-347) + merged map
+        """writeAllSessionsTrajectories (:293-347) for both stages (bfr =
+        after the initial optimize, aft = after SC+RS loops) + merged map
         (aft_map2.pcd, :372-377)."""
         os.makedirs(out_dir, exist_ok=True)
         poses = np.asarray(self.graph.poses, np.float64)
+        if getattr(self, "_poses_bfr", None) is not None:
+            self._write_trajectories(out_dir, self._poses_bfr, "bfr")
+        self._write_trajectories(out_dir, poses, "aft")
         for (name, base, n) in [("central", 0, self.nc),
                                 ("query", self.nc, self.nq)]:
             with open(os.path.join(out_dir,
@@ -360,3 +398,35 @@ class MultiSessionMerger:
                 parts.append(w[:: max(1, len(w) // 4000)])
         merged = np.concatenate(parts) if parts else np.zeros((0, 3))
         write_pcd(os.path.join(out_dir, "aft_map2.pcd"), merged)
+
+    def export_merged_session(self, out_dir: str):
+        """getReloKeyFrames analog (:1080-1102): persist the merged
+        central+query keyframe set — body-frame clouds, SCDs and the
+        loop-corrected central-frame poses — as a STANDARD session dir,
+        so the online-relo app (which consumes a prior session via
+        SessionReader, pose_estimator.cpp:57-75) can relocalize against
+        the union of both sessions.  Edges = both sessions' odometry
+        chains plus the accepted inter-session loops, with relative
+        poses re-derived from the optimized estimate."""
+        poses = np.asarray(self.graph.poses, np.float64)
+        w = SessionWriter(out_dir)
+        for (sess, cache, base, n) in [
+            (self.central, self._clouds_c, 0, self.nc),
+            (self.query, self._clouds_q, self.nc, self.nq),
+        ]:
+            for k in range(n):
+                xyz, inten = sess.cloud(k)
+                w.add_keyframe(xyz, inten, sess.scd(k), poses[base + k],
+                               t=float(base + k))
+        def rel(i, j):
+            return np.asarray(se3.compose(
+                se3.inverse(jnp.asarray(poses[i])), jnp.asarray(poses[j])))
+
+        for (i, j, _) in self.central.edges:
+            w.add_edge(i, j, rel(i, j))
+        for (i, j, _) in self.query.edges:
+            w.add_edge(self.nc + i, self.nc + j,
+                       rel(self.nc + i, self.nc + j))
+        for (c, q) in self.sc_pairs + self.rs_pairs:
+            w.add_edge(c, self.nc + q, rel(c, self.nc + q))
+        w.save()

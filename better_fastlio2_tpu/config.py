@@ -159,6 +159,15 @@ class ShapesConfig:
     # compacted moment scatter (voxel_hash.insert mom_budget): steady
     # program only; 0 = full-scatter + EMA clamp
     insert_mom_budget: int = 0
+    # valid-lane solve compaction (fused path only, 0 = off): when the
+    # association leaves <= this many live lanes (fit_ok & valid), the
+    # per-iteration fused solve runs over a compacted buffer of this
+    # static width instead of all n_ds lanes; scans with more live lanes
+    # fall back to the full-width kernel (bit-exact).  Pays off on
+    # hostile workloads where the plane gates kill ~25% of lanes (the
+    # C++ reference rejects those points early and gets the saving for
+    # free — laserMapping.cpp:1909-1938)
+    solve_compact: int = 0
 
 
 @dataclass
@@ -174,6 +183,12 @@ class LIOConfig:
     # out at laserMapping.cpp:2271-2307; here a first-class flag)
     dynamic_removal: bool = False
     sensor_height: float = 0.4  # segment/sensor_height param
+    # camera colorization block (reference yaml `camera:` —
+    # config/mulran.yaml; paramSetting laserMapping.cpp:279-290): raw
+    # dict with camera_internal / camera_external / camera_en, consumed
+    # by perception.colorize.CameraModel.from_config
+    camera: dict | None = None
+    camera_en: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "LIOConfig":
@@ -271,7 +286,8 @@ class LIOConfig:
         for k in ("n_raw", "n_ds", "n_imu", "map_capacity_log2",
                   "map_bucket", "map_max_probe", "knn_chunk",
                   "knn_neighbors", "knn_max_live", "insert_claim_budget",
-                  "insert_dense_budget", "insert_mom_budget"):
+                  "insert_dense_budget", "insert_mom_budget",
+                  "solve_compact"):
             if k in shp:
                 setattr(cfg.shapes, k, int(shp[k]))
         if "map_dense_log2" in shp:
@@ -283,6 +299,9 @@ class LIOConfig:
             cfg.dynamic_removal = d["dynamic_removal"]
         if "sensor_height" in d:
             cfg.sensor_height = d["sensor_height"]
+        if "camera" in d and d["camera"]:
+            cfg.camera = dict(d["camera"])
+            cfg.camera_en = bool(cfg.camera.get("camera_en", False))
         return cfg
 
 

@@ -282,6 +282,8 @@ class MeasureAux(NamedTuple):
     assoc_ijk: jax.Array  # (N, 3) int32 voxel of each point at association
     refreshed: jax.Array  # () bool — the one lazy refresh pass has run
     soa: jax.Array | None = None  # (16, N) fused-solve buffer (pack_soa)
+    soa_c: jax.Array | None = None  # (16, B) live-lane compacted buffer
+    use_c: jax.Array | None = None  # () bool — soa_c holds ALL live lanes
 
 
 def transform_to_world(s: State, pts_body: jax.Array) -> jax.Array:
@@ -330,6 +332,7 @@ def make_measure_fn(
     refresh_budget: int = 4096,
     fused_solve: bool = False,
     early_converge: bool = False,
+    solve_compact: int = 0,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -396,7 +399,7 @@ def make_measure_fn(
         assert single_association, "fused_solve requires single_association"
         return _make_fused_measure(
             m, pts_body, pts_valid, search_rows, refresh_budget,
-            early_converge=early_converge)
+            early_converge=early_converge, solve_compact=solve_compact)
 
     def measure(s: State, converged: jax.Array, aux: MeasureAux) -> MeasurementOut:
         p_world = transform_to_world(s, pts_body)
@@ -476,11 +479,27 @@ def make_measure_fn(
 
 
 def _make_fused_measure(m, pts_body, pts_valid, search_rows,
-                        refresh_budget: int, early_converge: bool = False):
+                        refresh_budget: int, early_converge: bool = False,
+                        solve_compact: int = 0):
     """Fused-solve variant of make_measure_fn's measure closure (see its
     docstring).  Association packs a (16, N) SoA buffer once per scan;
     every iteration is one fused_normal_eqs pass producing the Gram
-    matrix the esikf consumes directly (MeasurementOut.gram)."""
+    matrix the esikf consumes directly (MeasurementOut.gram).
+
+    solve_compact = B > 0 adds valid-lane compaction: lanes with
+    fit_ok=0 or valid=0 contribute exactly zero to the Gram in every
+    iteration, so when the association leaves <= B live lanes the
+    per-iteration kernel runs over an ascending-index compacted (16, B)
+    buffer instead of all N columns (one jnp.nonzero + gather per scan,
+    amortised over every solve pass).  Scans with more live lanes fall
+    back to the full-width kernel — never drops a measurement.  Two
+    bounded semantic deltas vs B=0, both confined to transient scans:
+    n_moved counts only live-lane voxel moves (dead lanes can't trigger
+    the lazy refresh), and a dead lane can only be resurrected by the
+    refresh pass, not by the per-iteration robust gate re-evaluation it
+    never had.  The reference rejects exactly these lanes early and
+    for good (laserMapping.cpp:1944-1954 compacts point_selected_surf).
+    """
     from ..ops import pallas_kernels as pk
 
     N = pts_body.shape[0]
@@ -493,11 +512,44 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
         jnp.maximum(jnp.linalg.norm(pts_body, axis=-1), 1e-8))
     vs = jnp.asarray(m.voxel_size, dtype)
     n_val_scan = jnp.sum(pts_valid.astype(dtype))
+    B = int(solve_compact) if 0 < int(solve_compact) < N else 0
 
     def normal_eqs(soa, params):
         if use_kernel:
             return pk.fused_normal_eqs(soa, params)
         return pk.fused_normal_eqs_reference(soa, params)
+
+    def _compact(soa):
+        """(soa_c, use_c): live lanes gathered to the first B columns
+        (ascending index, deterministic); use_c=False when they don't
+        fit — callers then run the full-width kernel."""
+        live = (soa[pk._OK] > 0) & (soa[pk._VAL] > 0)
+        use = jnp.sum(live.astype(jnp.int32)) <= B
+
+        def do(_):
+            idx = jnp.nonzero(live, size=B,
+                              fill_value=N)[0].astype(jnp.int32)
+            act = idx < N
+            cols = soa[:, jnp.minimum(idx, N - 1)]
+            return jnp.where(act[None, :], cols, 0.0)
+
+        soa_c = jax.lax.cond(
+            use, do, lambda _: jnp.zeros((pk.SOA_CH, B), soa.dtype), 0)
+        return soa_c, use
+
+    def _with_compact(aux):
+        if not B:
+            return aux
+        soa_c, use_c = _compact(aux.soa)
+        return aux._replace(soa_c=soa_c, use_c=use_c)
+
+    def solve(aux, params):
+        if not B:
+            return normal_eqs(aux.soa, params)
+        return jax.lax.cond(
+            aux.use_c,
+            lambda: normal_eqs(aux.soa_c, params),
+            lambda: normal_eqs(aux.soa, params))
 
     def build_aux(s, aux):
         p_world = transform_to_world(s, pts_body)
@@ -505,8 +557,9 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
         n, d, ok = search_rows(p_world, pts_valid)
         p_imu = so3.quat_rotate(s.off_r, pts_body) + s.off_t
         soa = pk.pack_soa(p_imu, n, d, invb, ok, ijk, pts_valid)
-        return MeasureAux(n, d, ok, jnp.array(True), ijk,
-                          jnp.array(False), soa)
+        return _with_compact(aux._replace(
+            normal=n, d=d, fit_ok=ok, searched=jnp.array(True),
+            assoc_ijk=ijk, refreshed=jnp.array(False), soa=soa))
 
     def measure(s: State, converged: jax.Array,
                 aux: MeasureAux) -> MeasurementOut:
@@ -518,7 +571,7 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
             so3.quat_to_matrix(s.rot).reshape(-1), s.pos,
             vs[None], jnp.zeros(3, dtype),
         ]).astype(jnp.float32)
-        G, n_moved = normal_eqs(aux.soa, params)
+        G, n_moved = solve(aux, params)
 
         if refresh_budget > 0:
             fire = (converged & jnp.logical_not(aux.refreshed)
@@ -534,8 +587,11 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
                     cols = pk.pack_soa(p_imu_s, n_s, d_s, invb[safe],
                                        ok_s, ijk_now[safe],
                                        pts_valid[safe] & act)
-                    return aux._replace(
-                        soa=aux.soa.at[:, dst].set(cols, mode="drop"))
+                    # refreshed rows can change the live set (a moved
+                    # row may gain or lose fit_ok) — re-derive the
+                    # compacted buffer from the updated full soa
+                    return _with_compact(aux._replace(
+                        soa=aux.soa.at[:, dst].set(cols, mode="drop")))
 
                 return _budgeted_refresh(
                     aux, p_world, ijk_now, pts_valid, search_rows,
@@ -544,7 +600,7 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
             aux = jax.lax.cond(fire, do_refresh, lambda a: a, aux)
             G, n_moved = jax.lax.cond(
                 fire,
-                lambda: normal_eqs(aux.soa, params),
+                lambda: solve(aux, params),
                 lambda: (G, n_moved),
             )
 
@@ -571,5 +627,7 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
         assoc_ijk=jnp.zeros((N, 3), jnp.int32),
         refreshed=jnp.array(False),
         soa=jnp.zeros((pk.SOA_CH, N), dtype),
+        soa_c=jnp.zeros((pk.SOA_CH, B), dtype) if B else None,
+        use_c=jnp.array(False) if B else None,
     )
     return measure, aux0

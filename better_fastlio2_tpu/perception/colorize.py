@@ -100,3 +100,87 @@ def points_in_boxes(
             & (uv[:, 1] <= y1)
         )
     return hit
+
+
+def pack_rgb_float(rgb: np.ndarray) -> np.ndarray:
+    """PCL `rgb` field convention: the 0x00RRGGBB bit pattern viewed as
+    a float32 (what the reference's pcl::PointXYZRGB serialises)."""
+    r = rgb[:, 0].astype(np.uint32)
+    g = rgb[:, 1].astype(np.uint32)
+    b = rgb[:, 2].astype(np.uint32)
+    return ((r << 16) | (g << 8) | b).view(np.float32)
+
+
+def test_pattern_image(width: int, height: int) -> np.ndarray:
+    """Deterministic BGR test card (u-channel red ramp, v-channel green
+    ramp, constant blue): the offline stand-in for the camera stream the
+    reference subscribes to (imageCallback, laserMapping.cpp:250-258) —
+    no camera topic exists in a dataset-replay container, and a known
+    gradient makes pixel pickup assertable in tests."""
+    u = np.linspace(0, 255, width, dtype=np.float32)
+    v = np.linspace(0, 255, height, dtype=np.float32)
+    img = np.zeros((height, width, 3), np.uint8)
+    img[:, :, 2] = np.broadcast_to(u[None, :], (height, width))  # R ramp
+    img[:, :, 1] = np.broadcast_to(v[:, None], (height, width))  # G ramp
+    img[:, :, 0] = 64  # constant B
+    return img
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Load an image file (.npy (H,W,3) uint8 passthrough, else via
+    PIL) as BGR uint8 — the cv_bridge "bgr8" convention the reference's
+    image callback produces."""
+    if path.endswith(".npy"):
+        img = np.load(path)
+        assert img.ndim == 3 and img.shape[2] == 3, img.shape
+        return img.astype(np.uint8)
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    return rgb[:, :, ::-1].copy()
+
+
+def write_colored_keyframes(
+    dest_dir: str,
+    keyframes,
+    cam: CameraModel,
+    image_for=None,
+) -> int:
+    """Colorize each keyframe's body-frame cloud through the camera
+    model and write world-frame colored PCDs `ColoredPCDs/%06d.pcd`
+    (x y z rgb) beside the session artifacts — the per-frame colored
+    world cloud the reference publishes when camera_en
+    (publish_frame_world_color, laserMapping.cpp:310-392), persisted
+    instead of published.
+
+    keyframes: iterable with .cloud (n,3 body frame), .pose ((7,)
+    [wxyz|t]).  image_for(k) -> BGR image for keyframe k (defaults to
+    the deterministic test pattern).  Returns #files written.
+    """
+    import os
+
+    from ..io.pcd import write_pcd_fields
+    from ..utils import so3
+
+    os.makedirs(dest_dir, exist_ok=True)
+    if image_for is None:
+        pattern = test_pattern_image(cam.width, cam.height)
+        image_for = lambda k: pattern  # noqa: E731
+    n = 0
+    for k, kf in enumerate(keyframes):
+        cloud = np.asarray(kf.cloud, np.float32)
+        if len(cloud) == 0:
+            continue
+        rgb, ok = colorize_cloud(cam, image_for(k), cloud)
+        # world-frame output like the reference's published cloud
+        pose = np.asarray(kf.pose, np.float64)
+        R = np.asarray(so3.quat_to_matrix(pose[:4]))
+        world = cloud @ R.T + pose[4:7]
+        rows = np.zeros((len(cloud), 4), np.float32)
+        rows[:, :3] = world
+        rows[:, 3] = pack_rgb_float(rgb)
+        write_pcd_fields(
+            os.path.join(dest_dir, f"{k:06d}.pcd"),
+            ["x", "y", "z", "rgb"], rows)
+        n += 1
+    return n

@@ -232,6 +232,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 and not mp.extrinsic_est_en
             )),
             early_converge=getattr(cfg.ikdtree, "early_converge", False),
+            solve_compact=getattr(sh, "solve_compact", 0),
         )
 
         def do_update(_):

@@ -125,6 +125,16 @@ def cmd_mapping(args):
     timer = ScanTimer()
     n = 0
 
+    # camera colorization (reference publish_frame_world_color,
+    # laserMapping.cpp:310-392, gated by camera_en): on --camera or the
+    # yaml camera_en, each keyframe cloud is colorized through the
+    # yaml's camera model and written as ColoredPCDs/%06d.pcd at save
+    cam_on = (getattr(cfg, "camera", None) is not None
+              and (getattr(args, "camera", False) or cfg.camera_en))
+    if getattr(args, "camera", False) and getattr(cfg, "camera", None) is None:
+        print("--camera needs a `camera:` block in the config; ignoring",
+              file=sys.stderr)
+
     def _save(dest):
         os.makedirs(dest, exist_ok=True)
         # consistency check before writing (laserMapping.cpp:2465-2475:
@@ -133,6 +143,27 @@ def cmd_mapping(args):
             "keyframe/pose count mismatch — refusing to write session")
         pipe.save_session(dest)
         timer.write_csv(os.path.join(dest, "fast_lio_time_log.csv"))
+        if cam_on:
+            from .perception.colorize import (CameraModel,
+                                              load_image_bgr,
+                                              write_colored_keyframes)
+
+            cam = CameraModel.from_config(cfg.camera)
+            img_dir = getattr(args, "camera_images", None)
+            image_for = None
+            if img_dir:
+                def image_for(k):
+                    for ext in (".png", ".jpg", ".npy"):
+                        p = os.path.join(img_dir, f"{k:06d}{ext}")
+                        if os.path.exists(p):
+                            return load_image_bgr(p)
+                    from .perception.colorize import test_pattern_image
+
+                    return test_pattern_image(cam.width, cam.height)
+            nc = write_colored_keyframes(
+                os.path.join(dest, "ColoredPCDs"), pipe.keyframes, cam,
+                image_for)
+            print(f"{nc} colored keyframe PCDs written", file=sys.stderr)
         print(f"session written to {dest}", file=sys.stderr)
 
     # graceful SIGINT save (the reference's SigHandle + final saver,
@@ -220,6 +251,10 @@ def cmd_multi_session(args):
     m = MultiSessionMerger(args.central, args.query, MultiSessionConfig())
     stats = m.run()
     m.write_outputs(args.output)
+    # getReloKeyFrames analog: the merged keyframe set as a standard
+    # session dir so `run.py online_relo --prior .../merged_session`
+    # relocalizes against both sessions (Incremental_mapping.cpp:1080)
+    m.export_merged_session(os.path.join(args.output, "merged_session"))
     print(json.dumps(stats))
 
 
@@ -304,6 +339,14 @@ def main(argv=None):
     mp.add_argument("--state-log", action="store_true",
                     help="write per-scan state rows to pos_log.txt "
                          "(dump_lio_state_to_log analog)")
+    mp.add_argument("--camera", action="store_true",
+                    help="colorize keyframe clouds through the config's "
+                         "camera: block (also on when the yaml sets "
+                         "camera_en)")
+    mp.add_argument("--camera-images", default=None,
+                    help="directory of per-keyframe images "
+                         "(%%06d.png/.jpg/.npy); default: deterministic "
+                         "test pattern")
     mp.add_argument("--dynamic", action="store_true",
                     help="live dynamic-object removal (SCV-OD)")
     mp.add_argument("--sensor-height", type=float, default=0.4)

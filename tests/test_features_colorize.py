@@ -1,8 +1,12 @@
 """Tests for LOAM feature extraction and camera colorization."""
 
+import os
+
 import numpy as np
 
 from better_fastlio2_tpu.io.features import extract_features
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from better_fastlio2_tpu.perception.colorize import (
     CameraModel,
     colorize_cloud,
@@ -127,3 +131,103 @@ def test_feature_filter_pipeline_integration():
     # test_feature_extraction_separates_wall_and_corner on structured
     # sweeps, and real sweep-ordered data downstream
     assert np.isfinite(err) and err < 5.0, f"feature path diverged: {err:.3f} m"
+
+
+def test_pack_rgb_float_roundtrip():
+    from better_fastlio2_tpu.perception.colorize import pack_rgb_float
+
+    rgb = np.array([[255, 128, 1], [0, 0, 0], [10, 20, 30]], np.uint8)
+    packed = pack_rgb_float(rgb).view(np.uint32)
+    assert packed[0] == 0x00FF8001
+    assert packed[1] == 0
+    assert packed[2] == (10 << 16) | (20 << 8) | 30
+
+
+def test_write_colored_keyframes_pixel_pickup(tmp_path):
+    """The ColoredPCDs writer picks the pixel color the camera model
+    projects to — assert exact colors for hand-placed points under the
+    deterministic test pattern (run.py mapping's default image source)."""
+    from dataclasses import dataclass
+
+    from better_fastlio2_tpu.io.pcd import read_pcd_fields
+    from better_fastlio2_tpu.perception.colorize import (
+        CameraModel, test_pattern_image, write_colored_keyframes)
+
+    K = np.array([[100.0, 0, 32, 0], [0, 100, 24, 0], [0, 0, 1, 0]])
+    cam = CameraModel(intrinsics=K, extrinsics=np.eye(4), width=64,
+                      height=48)
+
+    @dataclass
+    class KF:
+        cloud: np.ndarray
+        pose: np.ndarray
+
+    # z-forward points: center pixel (32,24) and an off-center (52,24)
+    cloud = np.array([[0, 0, 2.0], [0.4, 0, 2.0], [50, 50, -1.0]],
+                     np.float32)  # third point projects behind camera
+    pose = np.array([1, 0, 0, 0, 10.0, -5.0, 2.0])  # identity rot + t
+    n = write_colored_keyframes(str(tmp_path), [KF(cloud, pose)], cam)
+    assert n == 1
+    fields, rows = read_pcd_fields(str(tmp_path / "000000.pcd"))
+    assert fields == ["x", "y", "z", "rgb"]
+    # world-frame positions = cloud + t
+    np.testing.assert_allclose(rows[:, :3], cloud + pose[4:7], atol=1e-5)
+    img = test_pattern_image(64, 48)
+    packed = rows[:, 3].view(np.uint32)
+    # point 0 -> pixel (32, 24): R = u-ramp at col 32, G = v-ramp row 24
+    exp = img[24, 32]  # BGR
+    assert packed[0] == (int(exp[2]) << 16) | (int(exp[1]) << 8) | int(exp[0])
+    exp1 = img[24, 52]
+    assert packed[1] == (int(exp1[2]) << 16) | (int(exp1[1]) << 8) | int(exp1[0])
+    assert packed[2] == 0  # out-of-view point gets black
+
+
+def test_mapping_run_writes_colored_pcds(tmp_path):
+    """End-to-end: a yaml config with a camera: block (camera_en) drives
+    run.py mapping on the synthetic dataset and produces ColoredPCDs/
+    beside the session artifacts (the reference's camera_en contract,
+    laserMapping.cpp:310-392)."""
+    import subprocess
+    import sys
+
+    cfg_yaml = tmp_path / "cam.yaml"
+    cfg_yaml.write_text(
+        """
+camera:
+    camera_en: true
+    camera_external: [1, 0, 0, 0,  0, 1, 0, 0,  0, 0, 1, 0,  0, 0, 0, 1]
+    camera_internal: [200, 0, 320, 0,  0, 200, 240, 0,  0, 0, 1, 0]
+shapes:
+    n_raw: 8192
+    n_ds: 4096
+    n_imu: 32
+    map_capacity_log2: 16
+    map_bucket: 4
+    map_max_probe: 8
+    knn_chunk: 4096
+ikdtree:
+    max_iteration: 3
+    filter_size_map_min: 0.4
+common:
+    det_range: 60.0
+mapping:
+    surf_leaf_size: 0.4
+""")
+    out = tmp_path / "sess"
+    r = subprocess.run(
+        [sys.executable, "-m", "better_fastlio2_tpu.run", "mapping",
+         "--dataset", "synthetic", "--duration", "2.0",
+         "--config", str(cfg_yaml), "--output", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    colored = sorted(glob.glob(str(out / "ColoredPCDs" / "*.pcd")))
+    assert colored, r.stderr[-2000:]
+    from better_fastlio2_tpu.io.pcd import read_pcd_fields
+
+    fields, rows = read_pcd_fields(colored[0])
+    assert fields == ["x", "y", "z", "rgb"]
+    assert (rows[:, 3].view(np.uint32) != 0).any()  # real colors picked up

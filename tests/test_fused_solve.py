@@ -180,3 +180,57 @@ def test_early_converge_bounds_and_saves_passes():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(P_e), np.asarray(P_f),
                                rtol=0.05, atol=1e-4)
+
+
+@pytest.mark.parametrize("budget,expect_compact", [
+    (1024, True),    # == n: every live set fits -> compact branch runs
+    (64, False),     # tiny: live lanes overflow -> full-width fallback
+])
+def test_solve_compact_update_parity(budget, expect_compact):
+    """Valid-lane solve compaction (shapes.solve_compact): dead lanes
+    (fit_ok=0 / valid=0) contribute zero to the Gram, so the compacted
+    update must match the full-width one bitwise-closely when the live
+    set fits the budget, and fall back to the identical full kernel when
+    it doesn't."""
+    m, scan, valid, x0, P0 = _toy_problem(plane_cache=True)
+
+    outs = []
+    for sc in (0, budget):
+        measure, aux0 = measurement.make_measure_fn(
+            m, scan, valid, single_association=True, plane_cache=True,
+            fused_solve=True, solve_compact=sc,
+        )
+        x, P, _, info = esikf.update_iterated(
+            x0, P0, measure, aux0, max_iter=4, n_cols=6)
+        outs.append((x, P, info))
+    (x_f, P_f, i_f), (x_c, P_c, i_c) = outs
+    np.testing.assert_allclose(np.asarray(x_c.pos), np.asarray(x_f.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_c.rot), np.asarray(x_f.rot),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P_c), np.asarray(P_f),
+                               rtol=1e-4, atol=1e-6)
+    assert int(i_c["n_eff"]) == int(i_f["n_eff"])
+
+
+def test_solve_compact_gram_equivalence_direct():
+    """Direct check: the compacted buffer produces the same Gram as the
+    full soa for any random live pattern that fits the budget."""
+    rng = np.random.default_rng(9)
+    n, B = 2048, 1800
+    soa = np.array(_random_soa(rng, n))  # writable copy
+    # production invariant: fit_ok already includes the row-valid mask
+    # (search_rows ANDs them) — enforce it on the random buffer, since
+    # the kernel weights on the ok channel alone
+    soa[pk._OK] = soa[pk._OK] * soa[pk._VAL]
+    soa = jnp.asarray(soa)
+    params = _params(rng)
+    live = np.asarray((soa[pk._OK] > 0) & (soa[pk._VAL] > 0))
+    assert live.sum() <= B
+    idx = np.flatnonzero(live)
+    soa_c = np.zeros((pk.SOA_CH, B), np.float32)
+    soa_c[:, : len(idx)] = np.asarray(soa)[:, idx]
+    G_full, _ = pk.fused_normal_eqs_reference(soa, params)
+    G_c, _ = pk.fused_normal_eqs_reference(jnp.asarray(soa_c), params)
+    np.testing.assert_allclose(np.asarray(G_c), np.asarray(G_full),
+                               rtol=1e-5, atol=1e-3)

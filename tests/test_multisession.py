@@ -105,3 +105,48 @@ def test_two_session_merge_aligns_query(rng):
         assert os.path.exists(
             os.path.join(out, "query_aft_intersession_loops.txt")
         )
+
+        # bfr/aft trajectory parity (writeAllSessionsTrajectories with
+        # both postfixes, Incremental_mapping.cpp:293-347 / run :349-380)
+        for name in ("central", "query"):
+            for frame in ("local", "central"):
+                for stage in ("bfr", "aft"):
+                    p = os.path.join(out, f"{name}_{frame}_{stage}.txt")
+                    assert os.path.exists(p), p
+        # aft central-frame query trajectory = the aligned (true) poses;
+        # aft local-frame = the stored anchor-relative poses
+        qc = np.loadtxt(os.path.join(out, "query_central_aft.txt"))
+        ql = np.loadtxt(os.path.join(out, "query_local_aft.txt"))
+        t_c = qc.reshape(-1, 3, 4)[:, :, 3]
+        t_l = ql.reshape(-1, 3, 4)[:, :, 3]
+        true_t = np.stack([p[4:7] for p in query_true])
+        stored_t = np.stack([
+            np.asarray(se3.compose(se3.inverse(jnp.asarray(offset)),
+                                   jnp.asarray(p)))[4:7]
+            for p in query_true])
+        assert np.mean(np.linalg.norm(t_c - true_t, axis=1)) < 0.4
+        assert np.mean(np.linalg.norm(t_l - stored_t, axis=1)) < 0.4
+
+        # merged-session export (getReloKeyFrames analog,
+        # Incremental_mapping.cpp:1080-1102) chains into online relo
+        merged = os.path.join(td, "merged")
+        m.export_merged_session(merged)
+        from better_fastlio2_tpu.apps.online_relo import (OnlineRelocalizer,
+                                                          ReloConfig)
+        from better_fastlio2_tpu.io.session import SessionReader
+
+        r = SessionReader(merged)
+        assert r.num_keyframes == m.nc + m.nq
+        relo = OnlineRelocalizer(
+            merged, ReloConfig(sc_dist_thresh=0.6, search_dis=12.0))
+        # a fresh scan from a pose on the central trajectory must
+        # relocalize against the merged prior
+        tp = yaw_pose(0.0, [2.0, 0.5, 0.0])
+        inv = se3.inverse(jnp.asarray(tp))
+        body = np.asarray(se3.apply(inv, jnp.asarray(world)))
+        body = body[np.linalg.norm(body, axis=1) < 40]
+        body = body[rng.choice(len(body), 6000, replace=False)]
+        res = relo.process(body, tp.copy())
+        assert relo.initialized
+        assert res is not None and res["mode"] == "relo"
+        assert np.linalg.norm(res["pose"][4:7] - tp[4:7]) < 0.5
