@@ -333,6 +333,7 @@ def make_measure_fn(
     fused_solve: bool = False,
     early_converge: bool = False,
     solve_compact: int = 0,
+    psum_axis: str | None = None,
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -374,6 +375,12 @@ def make_measure_fn(
     blocks decoupled), so p_imu = R_il p + t_il is bit-constant across
     iterations and can be packed once per association pass.  On
     non-TPU backends the identical-math jnp reference runs instead.
+    psum_axis (SPMD mode, inside shard_map): `pts_body` is this device's
+    contiguous slice of the scan and every control-flow scalar that
+    gates iteration behavior (the lazy-refresh trigger counts n_moved /
+    n_valid, the early-converge certificate) is psum'd over the mesh
+    axis so all devices take identical branches — the Gram itself is
+    psum'd downstream by esikf.update_iterated(psum_axis=...).
     """
     N = pts_body.shape[0]
     dtype = pts_body.dtype
@@ -399,7 +406,8 @@ def make_measure_fn(
         assert single_association, "fused_solve requires single_association"
         return _make_fused_measure(
             m, pts_body, pts_valid, search_rows, refresh_budget,
-            early_converge=early_converge, solve_compact=solve_compact)
+            early_converge=early_converge, solve_compact=solve_compact,
+            psum_axis=psum_axis)
 
     def measure(s: State, converged: jax.Array, aux: MeasureAux) -> MeasurementOut:
         p_world = transform_to_world(s, pts_body)
@@ -432,6 +440,9 @@ def make_measure_fn(
             # those costs 2+ extra iterations/scan for no accuracy gain.
             n_need = jnp.sum(need.astype(jnp.int32))
             n_val = jnp.sum(pts_valid.astype(jnp.int32))
+            if psum_axis is not None:  # uniform trigger across the mesh
+                n_need = jax.lax.psum(n_need, psum_axis)
+                n_val = jax.lax.psum(n_val, psum_axis)
             fire = n_need * 20 > n_val  # > 5% of valid rows
 
             aux = jax.lax.cond(
@@ -480,7 +491,8 @@ def make_measure_fn(
 
 def _make_fused_measure(m, pts_body, pts_valid, search_rows,
                         refresh_budget: int, early_converge: bool = False,
-                        solve_compact: int = 0):
+                        solve_compact: int = 0,
+                        psum_axis: str | None = None):
     """Fused-solve variant of make_measure_fn's measure closure (see its
     docstring).  Association packs a (16, N) SoA buffer once per scan;
     every iteration is one fused_normal_eqs pass producing the Gram
@@ -512,6 +524,8 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
         jnp.maximum(jnp.linalg.norm(pts_body, axis=-1), 1e-8))
     vs = jnp.asarray(m.voxel_size, dtype)
     n_val_scan = jnp.sum(pts_valid.astype(dtype))
+    if psum_axis is not None:  # global valid count (uniform thresholds)
+        n_val_scan = jax.lax.psum(n_val_scan, psum_axis)
     B = int(solve_compact) if 0 < int(solve_compact) < N else 0
 
     def normal_eqs(soa, params):
@@ -571,7 +585,11 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
             so3.quat_to_matrix(s.rot).reshape(-1), s.pos,
             vs[None], jnp.zeros(3, dtype),
         ]).astype(jnp.float32)
-        G, n_moved = solve(aux, params)
+        G, n_moved_l = solve(aux, params)
+        # uniform trigger across the mesh: psum the LOCAL moved count
+        # (the Gram itself is psum'd by esikf.update_iterated)
+        n_moved = (jax.lax.psum(n_moved_l, psum_axis)
+                   if psum_axis is not None else n_moved_l)
 
         if refresh_budget > 0:
             fire = (converged & jnp.logical_not(aux.refreshed)
@@ -598,11 +616,16 @@ def _make_fused_measure(m, pts_body, pts_valid, search_rows,
                     refresh_budget, N, extra_update=update_soa)
 
             aux = jax.lax.cond(fire, do_refresh, lambda a: a, aux)
-            G, n_moved = jax.lax.cond(
+            # re-solve over the refreshed association; the cond carries
+            # only LOCAL values (solve has no collectives), the psum
+            # runs unconditionally after it — uniform either way
+            G, n_moved_l = jax.lax.cond(
                 fire,
                 lambda: solve(aux, params),
-                lambda: (G, n_moved),
+                lambda: (G, n_moved_l),
             )
+            n_moved = (jax.lax.psum(n_moved_l, psum_axis)
+                       if psum_axis is not None else n_moved_l)
 
         if early_converge:
             # re-association would change nothing only when the moved

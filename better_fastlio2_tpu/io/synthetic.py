@@ -209,9 +209,13 @@ class OutdoorWorld:
         return np.concatenate(out)
 
     def scan(self, pos_of_t, rot_of_t, t0, duration, n_points,
-             max_range=50.0, min_range=1.0, noise=0.0, rng=None):
+             max_range=50.0, min_range=1.0, noise=0.0, rng=None,
+             return_labels=False):
         """Same contract as SyntheticWorld.scan; ~4% of returns come from
-        the moving objects, sampled at each slice's capture time."""
+        the moving objects, sampled at each slice's capture time.
+        return_labels=True additionally returns the per-return ground
+        truth is_dynamic mask (the mover-origin rows) — the evaluation
+        input for io.evaluate.pr_rr_f1."""
         rng = rng or np.random.default_rng(1)
         # oversample so the post-cull scan still delivers ~n_points
         # returns (fairness: both bench workloads feed the same point
@@ -247,6 +251,8 @@ class OutdoorWorld:
             out += rng.normal(scale=noise, size=out.shape)
         rr = np.linalg.norm(out, axis=1)
         keep = (rr > min_range) & (rr < max_range)
+        if return_labels:
+            return out[keep], tofs[keep], (~stat_mask)[keep]
         return out[keep], tofs[keep]
 
 

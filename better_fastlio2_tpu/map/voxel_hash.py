@@ -632,7 +632,8 @@ def _alias_tag(dense_shape, ijk: jax.Array) -> jax.Array:
     return tx | (ty << bx) | (tz << (bx + by))
 
 
-@partial(jax.jit, static_argnames=("dense_shape", "mom_cap", "mom_budget"),
+@partial(jax.jit, static_argnames=("dense_shape", "mom_cap", "mom_budget",
+                                   "spmd_axis", "spmd_ndev"),
          donate_argnums=(0,))
 def insert_dense_moments(
     dmom: jax.Array,
@@ -642,6 +643,8 @@ def insert_dense_moments(
     valid: jax.Array,
     mom_cap: int,
     mom_budget: int,
+    spmd_axis: str | None = None,
+    spmd_ndev: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Steady-state moment insert straight into the dense torus table.
 
@@ -663,9 +666,34 @@ def insert_dense_moments(
     (dmom', n_new_cells).  Deviation from the reference's explicit FoV
     crop (laserMapping.cpp:1136-1200) is documented in the pipeline:
     geometry is forgotten by torus aliasing instead of box deletion.
+
+    spmd_axis (inside shard_map over spmd_ndev devices, `dmom` and the
+    batch REPLICATED): the header gather, cap/need gating, compaction
+    and delta-row arithmetic run on each device's contiguous 1/D row
+    slice with a mom_budget/D compaction; an all_gather of the
+    (budget/D, DMOM_CH+1) delta rows reassembles the identical global
+    delta set on every device and the full-budget scatter applies it to
+    every replica.  Replicas stay bit-identical (deltas are computed
+    against the same replicated table; each selected row's cell is
+    unique in the batch so scatter order cannot matter).  Vs the
+    single-device selection the only semantic delta is WHICH rows drop
+    when the budget binds (per-slice ascending caps instead of one
+    global ascending cap — same total budget, overflow self-heals next
+    scan, like every budgeted path here).
     """
     n = pts_world.shape[0]
     G = dmom.shape[0]
+    if spmd_axis is not None:
+        assert n % spmd_ndev == 0 and mom_budget % spmd_ndev == 0, (
+            n, mom_budget, spmd_ndev)
+        n_loc = n // spmd_ndev
+        budget = mom_budget // spmd_ndev
+        start = jax.lax.axis_index(spmd_axis) * n_loc
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_loc)  # noqa: E731
+        pts_world, valid = sl(pts_world), sl(valid)
+        n = n_loc
+    else:
+        budget = mom_budget
     ijk = _voxel_of(pts_world, voxel_size)
     lin = _dense_linear(dense_shape, ijk)
     tag = _alias_tag(dense_shape, ijk).astype(dmom.dtype)
@@ -680,7 +708,7 @@ def insert_dense_moments(
     cap = float(mom_cap) if mom_cap > 0 else jnp.inf
     need = valid & (n_seen < cap)
 
-    sel = jnp.nonzero(need, size=mom_budget, fill_value=n)[0].astype(
+    sel = jnp.nonzero(need, size=budget, fill_value=n)[0].astype(
         jnp.int32)
     act = sel < n
     sm = jnp.minimum(sel, n - 1)
@@ -701,7 +729,7 @@ def insert_dense_moments(
                 ],
                 axis=-1,
             ) * one[:, None],
-            jnp.zeros((mom_budget, 1), dmom.dtype),
+            jnp.zeros((budget, 1), dmom.dtype),
         ],
         axis=-1,
     )
@@ -710,8 +738,18 @@ def insert_dense_moments(
     add_own = contrib.at[:, 0].set(0.0)
     delta = jnp.where(own_s[:, None], add_own, contrib - old)
     delta = delta * one[:, None]
-    dmom = dmom.at[jnp.where(act, lin[sm], G)].add(delta, mode="drop")
+    dst = jnp.where(act, lin[sm], G)
     n_new = jnp.sum((act & ~own_s).astype(jnp.int32))
+    if spmd_axis is not None:
+        # reassemble the global delta set on every device, then every
+        # replica applies the identical full-budget scatter
+        delta = jax.lax.all_gather(delta, spmd_axis).reshape(
+            mom_budget, delta.shape[1])
+        dst = jax.lax.all_gather(dst, spmd_axis).reshape(mom_budget)
+        # local dst indices of inactive rows are G (drop) — valid
+        # globally too, since every replica's table has the same G
+        n_new = jax.lax.psum(n_new, spmd_axis)
+    dmom = dmom.at[dst].add(delta, mode="drop")
     return dmom, n_new
 
 

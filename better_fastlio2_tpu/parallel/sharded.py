@@ -44,10 +44,12 @@ __all__ = [
     "sharded_map_insert",
     "sharded_map_knn",
     "make_sharded_step_fn",
+    "make_spmd_window_step_fn",
     "slab_owner",
     "sharded_slab_insert",
     "sharded_slab_migrate",
     "comm_volume_per_scan",
+    "spmd_comm_volume_per_scan",
 ]
 
 
@@ -465,6 +467,97 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
         out_specs=(xspec, P(), P(axis), P()),
         check_vma=False,
     ), donate_argnums=(2,))
+
+
+def make_spmd_window_step_fn(cfg, mesh: Mesh, window: int, ls_example,
+                             axis: str = "dp",
+                             plane_cache: bool | None = None,
+                             unroll: int = 1):
+    """PRODUCTION-parity multi-chip window step: the full windowed LIO
+    device loop (lio.make_window_step_fn) as one shard_map program over
+    `mesh`.
+
+    This is the scaling path the MULTICHIP.md model describes as
+    implemented: map + filter state REPLICATED, per-point work sharded
+    by query rows — undistortion on the raw-point shard, association /
+    plane finalize / fused solve-row packing on this device's 1/D slice
+    of the downsampled batch, Gram psum per ESIKF iteration, and the
+    dense-moment insert's arithmetic sharded with an all_gather of
+    budgeted delta rows (see lio._make_step_core spmd docstring for the
+    layout rationale; the ownership-sharded map variants above remain
+    the aggregate-HBM-scaling alternative).  The program body IS the
+    production step core — same dense index, fused Pallas solve, window
+    lax.scan, insert budgets — so a 1-device mesh runs the production
+    program plus identity collectives.
+
+    `ls_example`: a live LIOState whose pytree structure (which optional
+    map tables exist) fixes the replicated in/out specs.
+
+    Returns wstep(ls, w: lio.WindowInputs, acc_norm) -> (ls', infos)
+    where w.pts/pt_t/pt_valid are sharded over their POINT axis
+    (NamedSharding(mesh, P(None, axis))) and everything else is
+    replicated.
+    """
+    from ..core import imu as imu_mod
+    from ..pipeline import lio
+
+    n_dev = mesh.devices.size
+    core = lio._make_step_core(cfg, plane_cache, spmd_axis=axis,
+                               spmd_ndev=n_dev)
+
+    def local(ls, w, acc_norm):
+        def body(ls, xs):
+            batch = imu_mod.ImuBatch(acc=xs.imu_acc, gyr=xs.imu_gyr,
+                                     t=xs.imu_t, mask=xs.imu_mask)
+            return core(ls, xs.pts, xs.pt_t, xs.pt_valid, batch,
+                        xs.last_end_rel, xs.scan_end_t, acc_norm,
+                        scan_valid=xs.scan_valid)
+
+        ls, infos = jax.lax.scan(body, ls, w, unroll=unroll)
+        return ls, infos
+
+    ls_spec = jax.tree_util.tree_map(lambda _: P(), ls_example)
+    w_spec = lio.WindowInputs(
+        pts=P(None, axis), pt_t=P(None, axis), pt_valid=P(None, axis),
+        imu_acc=P(), imu_gyr=P(), imu_t=P(), imu_mask=P(),
+        last_end_rel=P(), scan_end_t=P(), scan_valid=P(),
+    )
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(ls_spec, w_spec, P()),
+        out_specs=(ls_spec, P()),
+        check_vma=False,
+    ), donate_argnums=(0,))
+
+
+def spmd_comm_volume_per_scan(cfg, n_dev: int) -> dict:
+    """Per-device ICI bytes for one scan of the production-parity SPMD
+    window step (make_spmd_window_step_fn).  Ring accounting: an
+    all_gather of global size S receives S(D-1)/D bytes per device; a
+    psum (all-reduce) moves 2S(D-1)/D.
+
+    vs the ownership-sharded tick (comm_volume_per_scan): the (n_ds, 10)
+    moment-partial psum is GONE (each device reads its replica), leaving
+    the raw-point all_gather + the per-iteration Gram/scalar psums + the
+    insert delta-row all_gather — an order of magnitude less wire.
+    """
+    sh = cfg.shapes
+    f = (n_dev - 1) / n_dev
+    iters = cfg.ikdtree.max_iteration + 1  # worst-case ESIKF passes
+    S_raw = sh.n_raw * 3 * 4  # undistorted f32 rows (bit-exact gather)
+    S_gram = 8 * 8 * 4 + 2 * 4  # Gram + n_moved/n_val scalars
+    budget = max(getattr(sh, "insert_mom_budget", 0), 1024)
+    S_ins = budget * (13 * 4 + 4)  # delta rows (DMOM_CH+pad) + dst idx
+    vol = {
+        "all_gather_raw_points_bytes": S_raw * f,
+        "psum_gram_bytes": 2 * S_gram * f * iters,
+        "all_gather_insert_delta_bytes": S_ins * f,
+        "n_devices": n_dev,
+    }
+    vol["steady_total_bytes_per_scan"] = sum(
+        v for k, v in vol.items() if k.endswith("_bytes"))
+    return vol
 
 
 # ---------------------------------------------------------------------------

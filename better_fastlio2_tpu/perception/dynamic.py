@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ..utils import se3
 
 __all__ = ["SSCParams", "SSCGrid", "encode_scan", "cluster_grid",
-           "recognize_pd", "track_pd", "dynamic_removal_masks"]
+           "recognize_pd", "track_pd", "dynamic_removal_masks",
+           "point_labels", "cluster_colors", "save_cluster_cloud"]
 
 
 class SSCParams(NamedTuple):
@@ -275,3 +276,51 @@ def dynamic_removal_masks(
     )
     static = valid & (ground_mask | (~pt_dynamic))
     return static, grid
+
+
+# -- inspection dumps (saveColorCloud analog, tgrs.cpp:214-243) -----------
+
+
+def point_labels(grid: SSCGrid):
+    """(N,) int cluster label per point (-1 for non-clustered rows) —
+    host-side numpy."""
+    import numpy as np
+
+    valid = np.asarray(grid.pt_valid)
+    lab = np.asarray(grid.labels).reshape(-1)
+    pv = np.where(valid, np.asarray(grid.pt_voxel), 0)
+    return np.where(valid, lab[pv], -1)
+
+
+def cluster_colors(labels) -> "np.ndarray":
+    """Deterministic RGB per cluster label.  The reference colors each
+    cluster with rand()%255 per channel (tgrs.cpp:214-243
+    saveColorCloud); a multiplicative hash keeps runs reproducible.
+    Label -1 (unclustered) renders mid-gray."""
+    import numpy as np
+
+    lab = np.asarray(labels, np.int64)
+    h = (lab * 2654435761) & 0xFFFFFFFF
+    rgb = np.stack([64 + (h & 0x7F), 64 + ((h >> 7) & 0x7F),
+                    64 + ((h >> 14) & 0x7F)], -1).astype(np.uint8)
+    rgb[lab < 0] = 128
+    return rgb
+
+
+def save_cluster_cloud(path: str, pts, grid: SSCGrid) -> int:
+    """Write the cluster-colored curved-voxel cloud as a PCL-convention
+    packed-rgb PCD — how the reference's dynamic-removal quality is
+    eyeballed (tgrs.cpp saveColorCloud; called from object_update.cpp
+    :155).  Returns the number of points written."""
+    import numpy as np
+
+    from ..io.pcd import write_pcd_fields
+    from .colorize import pack_rgb_float
+
+    valid = np.asarray(grid.pt_valid)
+    labels = point_labels(grid)
+    rgb = cluster_colors(labels[valid])
+    xyz = np.asarray(pts)[valid].astype(np.float32)
+    data = np.concatenate([xyz, pack_rgb_float(rgb)[:, None]], axis=1)
+    write_pcd_fields(path, ["x", "y", "z", "rgb"], data)
+    return int(valid.sum())

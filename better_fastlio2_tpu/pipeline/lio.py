@@ -95,12 +95,34 @@ def _fov_segment(ls: LIOState, pos_lid: jax.Array, cube_len, det_range,
                        cube_init=jnp.array(True))
 
 
-def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
+def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
+                    spmd_axis: str | None = None, spmd_ndev: int = 1):
     """Build the (traceable, un-jitted) one-scan tick body.
 
     plane_cache overrides cfg.ikdtree.plane_cache when not None (the
     pipeline compiles a 5-NN warmup variant alongside the plane-cache
     step; see LIOPipeline).
+
+    spmd_axis/spmd_ndev (multi-chip mode — parallel.sharded.
+    make_spmd_window_step_fn): the body becomes the per-device program
+    of a shard_map over a `spmd_ndev`-device mesh.  Layout: the MAP and
+    filter state are REPLICATED (each chip holds the full voxel/moment
+    tables — comm is provably not the limiter, the full-batch stages
+    are; MULTICHIP.md), while the per-point work is sharded by QUERY
+    rows: `pts`/`pt_t`/`pt_valid` arrive as this device's contiguous
+    1/D shard of the raw scan, undistortion runs on the shard, one
+    all_gather reassembles the batch (bit-exact — f32 rows), and the
+    association + plane finalize + fused solve-row packing run on this
+    device's 1/D slice of the downsampled batch with the 8x8 Gram
+    psum'd per ESIKF iteration (156 floats).  The steady dense-moment
+    insert shards its header-gather/delta arithmetic and all_gathers
+    the budgeted delta rows so every replica applies one identical
+    scatter (insert_dense_moments spmd mode).  Replicated (Amdahl
+    serial) stages: IMU propagation (a strict per-scan recurrence),
+    the voxel downsample (sort-based global dedupe), the scatter
+    itself, and the tiny per-iteration gain algebra.  At spmd_ndev=1
+    every collective is an identity and the program is the production
+    single-chip step.
 
     core(ls, pts, pt_t, pt_valid, imu_batch, last_end_rel, scan_end_t,
          acc_norm) -> (ls', info_vec)
@@ -115,6 +137,10 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
     sh = cfg.shapes
     mp = cfg.mapping
     dtype = jnp.dtype(cfg.dtype)
+    if spmd_axis is not None:
+        assert sh.n_raw % spmd_ndev == 0 and sh.n_ds % spmd_ndev == 0, (
+            "spmd mode needs n_raw and n_ds divisible by the device "
+            f"count (got {sh.n_raw}/{sh.n_ds} over {spmd_ndev})")
     Q = imu.build_Q(mp.gyr_cov, mp.acc_cov, mp.b_gyr_cov, mp.b_acc_cov, dtype)
     eff_pc = (getattr(cfg.ikdtree, "plane_cache", False)
               if plane_cache is None else plane_cache)
@@ -195,6 +221,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             ls.last_acc_w, ls.last_gyr_b,
         )
         pts_body = imu.undistort(x_prop, poses, pts, pt_t)
+        if spmd_axis is not None:
+            # reassemble the full undistorted batch from the per-device
+            # shards (device-order concat preserves row order; f32 rows
+            # — bit-exact, ~n_raw*12*(D-1)/D bytes over ICI)
+            pts_body = jax.lax.all_gather(
+                pts_body, spmd_axis).reshape(-1, 3)
+            pt_valid = jax.lax.all_gather(pt_valid, spmd_axis).reshape(-1)
 
         # ---- local map FoV crop around the lidar position -----------------
         pos_lid = x_prop.pos + so3.quat_rotate(x_prop.rot, x_prop.off_t)
@@ -211,10 +244,20 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
         )
 
         # ---- iterated ESIKF update ---------------------------------------
+        if spmd_axis is not None:
+            # query-sharded measurement: this device associates, plane-
+            # fits and packs solve rows for ITS contiguous 1/D slice of
+            # the downsampled batch; the Gram psum merges (P1)
+            n_loc = sh.n_ds // spmd_ndev
+            start = jax.lax.axis_index(spmd_axis) * n_loc
+            pts_meas = jax.lax.dynamic_slice_in_dim(pts_ds, start, n_loc)
+            val_meas = jax.lax.dynamic_slice_in_dim(ds_valid, start, n_loc)
+        else:
+            pts_meas, val_meas = pts_ds, ds_valid
         measure, aux0 = measurement.make_measure_fn(
             ls.map,
-            pts_ds,
-            ds_valid,
+            pts_meas,
+            val_meas,
             extrinsic_est=mp.extrinsic_est_en,
             max_probe=sh.map_max_probe,
             n_neighbors=getattr(sh, "knn_neighbors", 27),
@@ -232,7 +275,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 and not mp.extrinsic_est_en
             )),
             early_converge=getattr(cfg.ikdtree, "early_converge", False),
-            solve_compact=getattr(sh, "solve_compact", 0),
+            solve_compact=getattr(sh, "solve_compact", 0) // spmd_ndev,
+            psum_axis=spmd_axis,
         )
 
         def do_update(_):
@@ -241,6 +285,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
                 max_iter=cfg.ikdtree.max_iteration,
                 n_cols=12 if mp.extrinsic_est_en else 6,
                 fused=eff_fused,
+                psum_axis=spmd_axis,
             )
             return x_u, P_u, info_u["n_eff"].astype(dtype)
 
@@ -266,11 +311,14 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None):
             # left untouched (frozen at their warmup content, like
             # moments_only freezes the buckets)
             dshape = tuple(1 << b for b in sh.map_dense_log2) + (2,)
+            budget = max(getattr(sh, "insert_mom_budget", 0), 1024)
+            budget = -(-budget // spmd_ndev) * spmd_ndev  # divisible by D
             new_dmom, _ = voxel_hash.insert_dense_moments(
                 ls.map.dmom, dshape, ls.map.voxel_size, pts_world,
                 ds_valid,
                 mom_cap=getattr(cfg.ikdtree, "mom_cap", 24),
-                mom_budget=max(getattr(sh, "insert_mom_budget", 0), 1024),
+                mom_budget=budget,
+                spmd_axis=spmd_axis, spmd_ndev=spmd_ndev,
             )
             m = ls.map._replace(dmom=new_dmom)
         else:
@@ -492,7 +540,8 @@ class LIOPipeline:
 
     def __init__(self, cfg: LIOConfig, pipelined: bool = False,
                  window: int = 1, quantized: bool = False,
-                 readback_depth: int = 1, unroll: int = 1):
+                 readback_depth: int = 1, unroll: int = 1,
+                 mesh=None):
         """pipelined=True overlaps the device->host pose readback with the
         next scan's compute: process_scan then returns the PREVIOUS scan's
         result (one-scan latency on the odometry stream, as a ROS
@@ -521,10 +570,22 @@ class LIOPipeline:
 
         unroll > 1 unrolls the window's lax.scan body (jax scan unroll):
         ~0.5 ms/scan less loop overhead at unroll=window, at the price of
-        a window-times-larger program to compile."""
+        a window-times-larger program to compile.
+
+        mesh: a jax.sharding.Mesh — window mode only.  The window
+        programs become the PRODUCTION-parity multi-chip SPMD step
+        (parallel.sharded.make_spmd_window_step_fn: map replicated,
+        per-point work query-sharded over the mesh, Gram psum'd) —
+        measured at 0.993x the single-chip program on a 1-device mesh.
+        Quantized wire mode is not combined with a mesh (host-side
+        shard feeding owns the wire format on a real multi-host slice)."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.window = int(window)
+        self.mesh = mesh
+        if mesh is not None:
+            assert self.window > 1 and not quantized, (
+                "mesh mode: use window>1 and the unquantized wire")
         self.quantized = bool(quantized) and self.window > 1
         if self.quantized:
             # the uint8 time-pair wire format packs times two-per-uint16:
@@ -534,11 +595,15 @@ class LIOPipeline:
                 f"(got {cfg.shapes.n_raw})")
         self.unroll = max(1, int(unroll))
         self._step = make_step_fn(cfg) if self.window == 1 else None
-        self._wstep = (
-            make_window_step_fn(cfg, self.window, quantized=self.quantized,
-                                unroll=self.unroll)
-            if self.window > 1 else None
-        )
+        if mesh is not None:
+            self._wstep = self._make_spmd_wstep(None)
+        else:
+            self._wstep = (
+                make_window_step_fn(cfg, self.window,
+                                    quantized=self.quantized,
+                                    unroll=self.unroll)
+                if self.window > 1 else None
+            )
         # plane-cache warmup: run the 5-NN association for the first
         # `plane_cache_warmup` scans while the moment cache densifies
         # (its n>=5 gate starves on a young map), then switch programs
@@ -550,6 +615,8 @@ class LIOPipeline:
         if self._warmup_scans > 0:
             if self.window == 1:
                 self._step_warm = make_step_fn(cfg, plane_cache=False)
+            elif mesh is not None:
+                self._wstep_warm = self._make_spmd_wstep(False)
             else:
                 self._wstep_warm = make_window_step_fn(
                     cfg, self.window, plane_cache=False,
@@ -574,6 +641,24 @@ class LIOPipeline:
         self._wbuf: list[tuple] = []  # buffered scans of the open window
         self._pending_ws: list[tuple] = []  # [(infos handle, n_valid)]
         self._results: list[dict] = []  # completed per-scan dicts (FIFO)
+
+    def _make_spmd_wstep(self, plane_cache):
+        """Lazy per-pytree-structure SPMD window program (the LIOState
+        structure changes when the dense moment table attaches at the
+        warmup->steady handoff)."""
+        from ..parallel.sharded import make_spmd_window_step_fn
+
+        cache = {}
+
+        def wstep(ls, win, acc_norm):
+            key = jax.tree_util.tree_structure(ls)
+            if key not in cache:
+                cache[key] = make_spmd_window_step_fn(
+                    self.cfg, self.mesh, self.window, ls,
+                    plane_cache=plane_cache, unroll=self.unroll)
+            return cache[key](ls, win, acc_norm)
+
+        return wstep
 
     # -- init ---------------------------------------------------------------
     def _make_ls(self, x: State, P) -> LIOState:

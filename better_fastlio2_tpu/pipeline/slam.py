@@ -263,6 +263,23 @@ class SLAMPipeline:
         )
         self._prev_grid = grid
         keep = np.asarray(static)
+        # inspection dumps (saveColorCloud analog, tgrs.cpp:214-243):
+        # per-scan cluster-colored cloud + the removed (dynamic) points
+        dump = getattr(self, "dynamic_dump_dir", None)
+        if dump:
+            import os
+
+            from ..io.pcd import write_pcd
+
+            os.makedirs(dump, exist_ok=True)
+            k = getattr(self, "_dyn_dump_idx", 0)
+            self._dyn_dump_idx = k + 1
+            dyn.save_cluster_cloud(
+                os.path.join(dump, f"{k:06d}_color.pcd"), pts, grid)
+            removed = pts[~keep]
+            if len(removed):
+                write_pcd(os.path.join(dump, f"{k:06d}_removed.pcd"),
+                          removed.astype(np.float32))
         return pts[keep], pt_t[keep]
 
     # -- keyframe + odom factor (addOdomFactor, :550-582) ------------------

@@ -91,6 +91,8 @@ def cmd_mapping(args):
         async_backend=cfg.loop.enable
         and not getattr(args, "sync_backend", False),
     )
+    if getattr(args, "dynamic_dump", None):
+        pipe.dynamic_dump_dir = args.dynamic_dump
 
     # GPS stream (config #3: datasets with GPS; the reference stubbed
     # addGPSFactor at laserMapping.cpp:689 — here it is live).  Synthetic
@@ -349,6 +351,11 @@ def main(argv=None):
                          "test pattern")
     mp.add_argument("--dynamic", action="store_true",
                     help="live dynamic-object removal (SCV-OD)")
+    mp.add_argument("--dynamic-dump", default=None, metavar="DIR",
+                    help="with --dynamic: write per-scan cluster-colored "
+                         "clouds (%%06d_color.pcd) and removed dynamic "
+                         "points (%%06d_removed.pcd) to DIR — the "
+                         "saveColorCloud inspection analog (tgrs.cpp)")
     mp.add_argument("--sensor-height", type=float, default=0.4)
     mp.add_argument("--max-scans", type=int, default=0)
     mp.add_argument("--duration", type=float, default=8.0)

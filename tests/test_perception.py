@@ -157,3 +157,69 @@ def test_dynamic_removal_end_to_end(rng):
     static = np.asarray(static)
     assert static[:2000].mean() > 0.99  # ground kept
     assert static[2000:].mean() < 0.2  # moving object removed
+
+
+def test_cluster_color_dump_roundtrip(tmp_path, rng):
+    """saveColorCloud analog (tgrs.cpp:214-243): the cluster-colored
+    dump round-trips through the PCD writer with one stable color per
+    cluster and distinct colors across clusters."""
+    from better_fastlio2_tpu.io.pcd import read_pcd_fields
+
+    prm = dyn.SSCParams()
+    a = box_cluster(rng, (8, 2))
+    b = box_cluster(rng, (14, -5))
+    pts = jnp.asarray(np.concatenate([a, b]))
+    grid = dyn.cluster_grid(dyn.encode_scan(pts, jnp.ones(len(a) + len(b),
+                                                          bool), prm), prm)
+    path = str(tmp_path / "000000_color.pcd")
+    n = dyn.save_cluster_cloud(path, np.asarray(pts), grid)
+    fields, data = read_pcd_fields(path)
+    assert fields == ["x", "y", "z", "rgb"] and len(data) == n
+
+    labels = dyn.point_labels(grid)
+    valid = np.asarray(grid.pt_valid)
+    rgb_packed = data[:, 3].view(np.uint32)
+    lab_v = labels[valid]
+    # one packed color per cluster, and the two clusters differ
+    for lb in np.unique(lab_v[lab_v >= 0]):
+        assert len(np.unique(rgb_packed[lab_v == lb])) == 1
+    la = lab_v[: int(valid[: len(a)].sum())]
+    lb_ = lab_v[int(valid[: len(a)].sum()):]
+    ca = rgb_packed[: len(la)][la >= 0]
+    cb = rgb_packed[len(la):][lb_ >= 0]
+    assert len(ca) and len(cb) and ca[0] != cb[0]
+
+
+def test_pr_rr_f1_on_synthetic_movers():
+    """Artifact-level pr_rr_f1 consumer: the SCV-OD chain on the
+    OutdoorWorld's labelled movers (synthetic ground truth via
+    scan(return_labels=True)) detects the moved cars."""
+    from better_fastlio2_tpu.io.evaluate import pr_rr_f1
+    from better_fastlio2_tpu.io.synthetic import OutdoorWorld
+
+    world = OutdoorWorld(seed=1, half=40.0)
+    H = 2.0  # sensor mounted above the car-height movers' PD band
+    pos = lambda t: np.array([0.0, 0.0, H])  # noqa: E731
+    rot = lambda t: np.eye(3)  # noqa: E731
+    prm = dyn.SSCParams(sensor_height=0.4)
+
+    def one(t0):
+        pts, _, gt_dyn = world.scan(pos, rot, t0, 0.1, 12000, noise=0.005,
+                                    rng=np.random.default_rng(7),
+                                    return_labels=True)
+        pts = pts.astype(np.float32)
+        gm = pts[:, 2] < -1.5  # ground plane sits at ~-H in sensor frame
+        return pts, gm, gt_dyn
+
+    p1, g1, _ = one(0.0)
+    p2, g2, gt2 = one(2.0)  # movers displace 2-6 m in the gap
+    _, grid1 = dyn.dynamic_removal_masks(
+        jnp.asarray(p1), jnp.ones(len(p1), bool), jnp.asarray(g1), None,
+        se3.identity(jnp.float32), prm)
+    static, _ = dyn.dynamic_removal_masks(
+        jnp.asarray(p2), jnp.ones(len(p2), bool), jnp.asarray(g2), grid1,
+        se3.identity(jnp.float32), prm)
+    pred_dyn = ~np.asarray(static)
+    pr, rr, f1 = pr_rr_f1(pred_dyn, gt2)
+    assert rr > 0.5, f"mover recall {rr:.2f}"
+    assert f1 > 0.4, f"f1 {f1:.2f} (precision {pr:.2f})"

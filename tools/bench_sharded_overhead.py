@@ -1,8 +1,15 @@
-"""Sharded-program overhead on ONE real chip: the multi-chip scan tick
-(parallel.sharded.make_sharded_step_fn) on a 1-device mesh vs the
-single-chip production step, chained on-device — isolates what the
-shard_map program structure itself costs before any communication
-(MULTICHIP.md's measured input; VERDICT r2 next-step #4).
+"""SPMD-program overhead on ONE real chip (MULTICHIP.md's measured
+input; VERDICT r3 next-step #3).
+
+Measures the PRODUCTION-parity multi-chip window step
+(parallel.sharded.make_spmd_window_step_fn — map replicated, per-point
+work query-sharded, Gram psum'd, same dense index / fused solve /
+window batching / insert budgets as production) on a 1-device mesh,
+chained on-device, against the single-chip production window step on
+the SAME state and inputs.  The delta is the cost of the shard_map
+program structure + identity collectives — the serial-overhead term of
+the scaling model.  Also reports the legacy ownership-sharded tick
+(--legacy) for the historical comparison.
 
 Run: python tools/bench_sharded_overhead.py   (watchdog-wrapped)
 """
@@ -19,100 +26,113 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from _watchdog import child_ready, run_watchdog  # noqa: E402
 
 
+def bench_cfg():
+    from better_fastlio2_tpu.config import (IkdtreeConfig, LIOConfig,
+                                            MappingConfig, ShapesConfig)
+
+    # exactly bench.py's room workload config
+    cfg = LIOConfig()
+    cfg.shapes = ShapesConfig(
+        n_raw=1 << 15, n_ds=1 << 14, n_imu=16, map_capacity_log2=20,
+        map_bucket=4, map_max_probe=6, knn_chunk=1 << 14,
+        map_dense_log2=(8, 8, 7), knn_max_live=12,
+        insert_claim_budget=2048, insert_dense_budget=2048,
+        insert_mom_budget=4096)
+    cfg.mapping = MappingConfig(det_range=60.0, cube_len=400.0,
+                                surf_leaf_size=0.5, extrinsic_est_en=False)
+    cfg.ikdtree = IkdtreeConfig(max_iteration=4, filter_size_map_min=0.5,
+                                single_association=True, plane_cache=True,
+                                plane_cache_warmup=16, mom_dense=True,
+                                early_converge=True)
+    return cfg
+
+
 def main():
     child_ready()
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from better_fastlio2_tpu.config import (IkdtreeConfig, LIOConfig,
-                                            MappingConfig, ShapesConfig)
-    from better_fastlio2_tpu.core import imu as imu_mod
-    from better_fastlio2_tpu.core.state import identity_state, init_P
     from better_fastlio2_tpu.io.synthetic import make_bench_sequence
     from better_fastlio2_tpu.parallel import sharded
-    from better_fastlio2_tpu.map import voxel_hash
+    from better_fastlio2_tpu.pipeline.lio import (LIOPipeline, WindowInputs,
+                                                  make_window_step_fn)
 
-    cfg = LIOConfig()
-    cfg.shapes = ShapesConfig(
-        n_raw=1 << 15, n_ds=1 << 14, n_imu=16, map_capacity_log2=20,
-        map_bucket=4, map_max_probe=6, knn_chunk=1 << 14,
-        map_dense_log2=None)  # the sharded map carries no dense index
-    cfg.mapping = MappingConfig(det_range=60.0, cube_len=400.0,
-                                surf_leaf_size=0.5, extrinsic_est_en=False)
-    cfg.ikdtree = IkdtreeConfig(max_iteration=4, filter_size_map_min=0.5,
-                                plane_cache=True)
-
-    groups = make_bench_sequence("room", 24)
+    W = 8
+    cfg = bench_cfg()
+    groups = make_bench_sequence("room", 64)
     print("# sequence ready", flush=True)
 
-    mesh = sharded.make_mesh(jax.devices()[:1])
-    sstep = sharded.make_sharded_step_fn(cfg, mesh)
-    msh = sharded.make_sharded_map(mesh, capacity_log2_per_dev=20, bucket=4,
-                                   voxel_size=0.5, moments=True)
-    dtype = jnp.float32
-    x, P = identity_state(dtype), init_P(dtype)
-    sh = cfg.shapes
-
-    def pack(g):
-        pts = np.zeros((sh.n_raw, 3), np.float32)
-        tt = np.zeros(sh.n_raw, np.float32)
-        vv = np.zeros(sh.n_raw, bool)
-        n = min(len(g["pts"]), sh.n_raw)
-        pts[:n], tt[:n], vv[:n] = g["pts"][:n], g["pt_t"][:n], True
-        m = sh.n_imu
-        A = np.zeros((m, 3), np.float32)
-        G = np.zeros((m, 3), np.float32)
-        T = np.full(m, np.inf, np.float32)
-        Mk = np.zeros(m, bool)
-        k = min(len(g["imu_acc"]), m)
-        A[:k], G[:k], T[:k], Mk[:k] = (g["imu_acc"][:k], g["imu_gyr"][:k],
-                                       g["imu_t"][:k], True)
-        return (jnp.asarray(pts), jnp.asarray(tt), jnp.asarray(vv),
-                imu_mod.ImuBatch(jnp.asarray(A), jnp.asarray(G),
-                                 jnp.asarray(T), jnp.asarray(Mk)),
-                jnp.asarray(float(g["scan_end_t"]), dtype))
-
-    lo = jnp.full(3, -200.0, dtype)
-    hi = jnp.full(3, 200.0, dtype)
-    z3 = jnp.zeros(3, dtype)
-    an = jnp.asarray(9.809, dtype)
-    tail = jnp.zeros((2, 3), dtype)
-
-    packed = [pack(g) for g in groups]
-    # warmup/build with 5-NN, then steady plane-cache scans
-    for i, (pts, tt, vv, batch, se) in enumerate(packed[:12]):
-        x, P, msh, tail = sstep(x, P, msh, pts, tt, vv, batch,
-                                jnp.asarray(0.0, dtype), se, an, lo, hi,
-                                tail[0], tail[1], jnp.asarray(True))
-    jax.block_until_ready(tail)
+    # warm the filter + map to the steady dense-moment program through
+    # the production pipeline, then measure both programs from ITS state
+    pipe = LIOPipeline(cfg, window=W, unroll=W)
+    for g in groups:
+        pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"],
+                          g["imu_t"], g["scan_beg_abs"], g["scan_end_t"])
+    pipe.flush()
+    assert pipe.ls.map.dmom is not None
     print("# warmup done", flush=True)
 
-    def timed(use_knn, reps=3):
-        nonlocal x, P, msh, tail
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for (pts, tt, vv, batch, se) in packed[12:20]:
-                x, P, msh, tail = sstep(x, P, msh, pts, tt, vv, batch,
-                                        jnp.asarray(0.0, dtype), se, an,
-                                        lo, hi, tail[0], tail[1],
-                                        jnp.asarray(use_knn))
-            jax.block_until_ready(tail)
-            best = min(best, 1e3 * (time.perf_counter() - t0) / 8)
-        return best
+    dtype = pipe.dtype
+    an = jnp.asarray(pipe.acc_norm, dtype)
+    last = groups[-W:]
+    cols = [pipe._pad_points(g["pts"], g["pt_t"]) for g in last]
+    imus = [pipe._pad_imu(g["imu_acc"], g["imu_gyr"], g["imu_t"])
+            for g in last]
+    win = WindowInputs(
+        pts=jnp.asarray(np.stack([c[0] for c in cols])),
+        pt_t=jnp.asarray(np.stack([c[1] for c in cols])),
+        pt_valid=jnp.asarray(np.stack([c[2] for c in cols])),
+        imu_acc=jnp.asarray(np.stack([i[0] for i in imus])),
+        imu_gyr=jnp.asarray(np.stack([i[1] for i in imus])),
+        imu_t=jnp.asarray(np.stack([i[2] for i in imus])),
+        imu_mask=jnp.asarray(np.stack([i[3] for i in imus])),
+        last_end_rel=jnp.zeros(W, dtype),
+        scan_end_t=jnp.asarray([float(g["scan_end_t"]) for g in last],
+                               dtype),
+        scan_valid=jnp.ones(W, bool),
+    )
 
-    timed(False, reps=1)  # compile the plane-cache branch
-    ms_pc = timed(False)
-    ms_knn = timed(True)
+    def copy_ls(ls):
+        return jax.tree_util.tree_map(lambda a: jnp.array(a), ls)
+
+    def chained_ms(wstep, ls, chain=4, n_groups=8):
+        ls, infos = wstep(ls, win, an)  # compile + first run
+        np.asarray(infos[0])
+        group_ms = []
+        for _ in range(n_groups):
+            t0 = time.perf_counter()
+            for _i in range(chain):
+                ls, infos = wstep(ls, win, an)
+            np.asarray(infos[0])
+            group_ms.append(
+                1e3 * (time.perf_counter() - t0) / (chain * W))
+        return float(np.min(group_ms))
+
+    # production single-chip window program (unquantized variant: both
+    # programs read identical on-device inputs; wire format is not what
+    # this tool measures)
+    prod = make_window_step_fn(cfg, W, unroll=W)
+    ms_prod = chained_ms(prod, copy_ls(pipe.ls))
+    print(f"# production W={W}: {ms_prod:.2f} ms/scan", flush=True)
+
+    # SPMD window program on a 1-device mesh
+    mesh = sharded.make_mesh(jax.devices()[:1])
+    spmd = sharded.make_spmd_window_step_fn(cfg, mesh, W, pipe.ls,
+                                            unroll=W)
+    ms_spmd = chained_ms(spmd, copy_ls(pipe.ls))
+    print(f"# spmd 1-dev W={W}: {ms_spmd:.2f} ms/scan", flush=True)
+
     print(json.dumps({
-        "metric": "sharded_1dev_ms_per_scan",
-        "plane_cache_ms": round(ms_pc, 2),
-        "knn_ms": round(ms_knn, 2),
-        "note": ("sharded shard_map program on a 1-device mesh; compare "
-                 "BENCH device_ms_per_scan for the single-chip production "
-                 "step (which additionally has window batching, fused "
-                 "solve, dense index and insert budgets)"),
+        "metric": "spmd_1dev_overhead",
+        "production_ms_per_scan": round(ms_prod, 2),
+        "spmd_1dev_ms_per_scan": round(ms_spmd, 2),
+        "overhead_ratio": round(ms_spmd / ms_prod, 3),
+        "window": W,
+        "note": ("production-parity SPMD window step (replicated map, "
+                 "query-sharded points, psum'd Gram) on a 1-device mesh "
+                 "vs the single-chip production window step, both "
+                 "chained on-device, min-of-groups"),
     }), flush=True)
 
 

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--n-scans", type=int, default=6)
     ap.add_argument("--local-devices", type=int, default=1)
+    ap.add_argument("--spmd", action="store_true",
+                    help="run the PRODUCTION-parity SPMD window step "
+                         "(make_spmd_window_step_fn) instead of the "
+                         "ownership-sharded tick")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -72,6 +76,9 @@ def main():
     assert n_dev == args.num_processes * args.local_devices, (
         n_dev, args.num_processes, args.local_devices)
     mesh = sharded.make_mesh(jax.devices())
+
+    if args.spmd:
+        return main_spmd(args, mesh)
 
     cfg = LIOConfig()
     N_RAW = 2048
@@ -150,6 +157,106 @@ def main():
     if args.out and jax.process_index() == 0:
         np.savez(args.out, traj=np.stack(traj_out))
     print(f"proc {args.process_id}: ok, {len(traj_out)} scans, "
+          f"end pos {traj_out[-1]}")
+
+
+def main_spmd(args, mesh):
+    """Two-process run of the PRODUCTION-parity SPMD window step (the
+    MULTICHIP.md as-implemented scaling path): every process replays the
+    SAME deterministic single-chip warmup locally (the replicated
+    LIOState), then the steady dense-moment window program runs across
+    both processes — the all_gather'd undistorted shards, psum'd Grams
+    and all_gather'd insert delta rows ride the cross-process
+    transport."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from better_fastlio2_tpu.config import (
+        IkdtreeConfig, LIOConfig, MappingConfig, ShapesConfig,
+    )
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.parallel import sharded
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline, WindowInputs
+
+    N_RAW, N_DS, W = 2048, 1024, 2
+    cfg = LIOConfig()
+    cfg.shapes = ShapesConfig(
+        n_raw=N_RAW, n_ds=N_DS, n_imu=32, map_capacity_log2=13,
+        map_bucket=4, map_max_probe=8, knn_chunk=N_DS,
+        map_dense_log2=(7, 7, 5), insert_mom_budget=1024)
+    cfg.mapping = MappingConfig(det_range=20.0, cube_len=200.0,
+                                surf_leaf_size=0.4, extrinsic_est_en=False)
+    cfg.ikdtree = IkdtreeConfig(
+        max_iteration=3, filter_size_map_min=0.4, plane_cache=True,
+        plane_cache_warmup=8, mom_dense=True, single_association=True,
+        early_converge=True)
+    dtype = jnp.float32
+
+    groups = list(make_lio_sequence(
+        duration=2.4, scan_rate=10.0, imu_rate=100.0, n_points=N_RAW,
+        seed=11, noise=0.002, traj=Trajectory(t_still=0.5, speed=1.5),
+    ))
+    n_steady = args.n_scans - args.n_scans % W
+    warm, steady = groups[:-n_steady], groups[-n_steady:]
+
+    # identical local warmup on every process -> replicated LIOState
+    pipe = LIOPipeline(cfg)
+    for g in warm:
+        pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"],
+                          g["imu_t"], g["scan_beg_abs"], g["scan_end_t"])
+    assert pipe.ls is not None and pipe.ls.map.dmom is not None, (
+        "warmup must reach the steady dense-moment program")
+
+    def rep(a):
+        a = np.asarray(a)
+        sh = NamedSharding(mesh, PS(*([None] * a.ndim)))
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    def shard_pts(a):
+        """(W, n_pts, ...) sharded over the POINT axis; every process
+        holds the full array."""
+        a = np.asarray(a)
+        sh = NamedSharding(mesh,
+                           PS(None, "dp", *([None] * (a.ndim - 2))))
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    ls = jax.tree_util.tree_map(rep, pipe.ls)
+    wstep = sharded.make_spmd_window_step_fn(cfg, mesh, W, ls)
+    an = rep(np.asarray(pipe.acc_norm, np.float32))
+
+    traj_out = []
+    last_end_abs = pipe.last_scan_end_abs
+    for wi in range(0, len(steady), W):
+        scans = steady[wi:wi + W]
+        cols = [pipe._pad_points(g["pts"], g["pt_t"]) for g in scans]
+        imus = [pipe._pad_imu(g["imu_acc"], g["imu_gyr"], g["imu_t"])
+                for g in scans]
+        rels = []
+        for g in scans:
+            rels.append(last_end_abs - g["scan_beg_abs"])
+            last_end_abs = g["scan_beg_abs"] + g["scan_end_t"]
+        win = WindowInputs(
+            pts=shard_pts(np.stack([c[0] for c in cols])),
+            pt_t=shard_pts(np.stack([c[1] for c in cols])),
+            pt_valid=shard_pts(np.stack([c[2] for c in cols])),
+            imu_acc=rep(np.stack([i[0] for i in imus])),
+            imu_gyr=rep(np.stack([i[1] for i in imus])),
+            imu_t=rep(np.stack([i[2] for i in imus])),
+            imu_mask=rep(np.stack([i[3] for i in imus])),
+            last_end_rel=rep(np.asarray(rels, np.float32)),
+            scan_end_t=rep(np.asarray([g["scan_end_t"] for g in scans],
+                                      np.float32)),
+            scan_valid=rep(np.ones(W, bool)),
+        )
+        ls, infos = wstep(ls, win, an)
+        iv = np.asarray(jax.device_get(infos))
+        traj_out.extend(iv[:, 0:3])
+
+    if args.out and jax.process_index() == 0:
+        np.savez(args.out, traj=np.stack(traj_out))
+    print(f"proc {args.process_id}: spmd ok, {len(traj_out)} scans, "
           f"end pos {traj_out[-1]}")
 
 

@@ -139,14 +139,15 @@ def main():
         return
 
     # ---- stage ablations on the mom_dense program ------------------------
-    def no_dmom_insert(dmom, dshape, vs, pts, valid, mom_cap, mom_budget):
+    def no_dmom_insert(dmom, dshape, vs, pts, valid, mom_cap, mom_budget,
+                       **kw):
         return dmom, jnp.zeros((), jnp.int32)
 
     timed(cfg_new, ls0, win_n, an, "insert_dense -> no-op",
           [(voxel_hash, "insert_dense_moments", no_dmom_insert)])
 
     def no_update(x, P, fn, aux0, **k):
-        return x, P, aux0, {}
+        return x, P, aux0, {"n_eff": jnp.zeros(())}
 
     timed(cfg_new, ls0, win_n, an, "update+assoc -> no-op",
           [(esikf, "update_iterated", no_update)])
@@ -157,7 +158,7 @@ def main():
         if m.gram is not None:
             drain = drain + jnp.sum(m.gram)
         drain = drain + jnp.sum(m.aux.normal) + jnp.sum(m.aux.d)
-        return x, P + 0.0 * drain, m.aux, {}
+        return x, P + 0.0 * drain, m.aux, {"n_eff": jnp.zeros(())}
 
     timed(cfg_new, ls0, win_n, an, "update solve -> no-op",
           [(esikf, "update_iterated", assoc_only)])
