@@ -168,6 +168,18 @@ class ShapesConfig:
     # C++ reference rejects those points early and gets the saving for
     # free — laserMapping.cpp:1909-1938)
     solve_compact: int = 0
+    # SPMD mode only (LIOPipeline(mesh=...), steady mom_dense program):
+    # each device voxel-downsamples ITS raw shard locally (n_ds/D rows)
+    # instead of replicating the global sort — the downsample then
+    # scales 1/D.  Semantics deviation, bounded: a voxel whose points
+    # straddle a shard boundary can yield up to D measurement rows
+    # (slight re-weighting vs the global dedupe; the reference's own
+    # downsample is approximate too), and the dense-moment insert
+    # de-duplicates replace-rows per cell (voxel_hash spmd_dedupe) so
+    # the delta scatter stays exact.  At D=1 identical to the global
+    # path.  Off by default — the default SPMD program matches the
+    # single-chip program to reduction order.
+    spmd_local_downsample: bool = False
 
 
 @dataclass

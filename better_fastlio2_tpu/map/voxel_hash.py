@@ -633,7 +633,8 @@ def _alias_tag(dense_shape, ijk: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("dense_shape", "mom_cap", "mom_budget",
-                                   "spmd_axis", "spmd_ndev"),
+                                   "spmd_axis", "spmd_ndev",
+                                   "spmd_pre_sliced", "spmd_dedupe"),
          donate_argnums=(0,))
 def insert_dense_moments(
     dmom: jax.Array,
@@ -645,6 +646,8 @@ def insert_dense_moments(
     mom_budget: int,
     spmd_axis: str | None = None,
     spmd_ndev: int = 1,
+    spmd_pre_sliced: bool = False,
+    spmd_dedupe: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Steady-state moment insert straight into the dense torus table.
 
@@ -680,18 +683,28 @@ def insert_dense_moments(
     when the budget binds (per-slice ascending caps instead of one
     global ascending cap — same total budget, overflow self-heals next
     scan, like every budgeted path here).
+
+    spmd_pre_sliced: `pts_world`/`valid` are ALREADY this device's
+    local rows (the spmd_local_downsample path) — skip the slicing;
+    the per-device budget is still mom_budget/spmd_ndev.
+    spmd_dedupe: the batch is NOT globally voxel-deduplicated
+    (per-shard downsample): among gathered rows targeting the same
+    cell, keep every accumulate-row (associative) but only the FIRST
+    replace-row — a second replace-delta would subtract the old row
+    twice and corrupt the cell.
     """
     n = pts_world.shape[0]
     G = dmom.shape[0]
     if spmd_axis is not None:
-        assert n % spmd_ndev == 0 and mom_budget % spmd_ndev == 0, (
-            n, mom_budget, spmd_ndev)
-        n_loc = n // spmd_ndev
+        assert mom_budget % spmd_ndev == 0, (mom_budget, spmd_ndev)
         budget = mom_budget // spmd_ndev
-        start = jax.lax.axis_index(spmd_axis) * n_loc
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_loc)  # noqa: E731
-        pts_world, valid = sl(pts_world), sl(valid)
-        n = n_loc
+        if not spmd_pre_sliced:
+            assert n % spmd_ndev == 0, (n, spmd_ndev)
+            n_loc = n // spmd_ndev
+            start = jax.lax.axis_index(spmd_axis) * n_loc
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_loc)  # noqa: E731
+            pts_world, valid = sl(pts_world), sl(valid)
+            n = n_loc
     else:
         budget = mom_budget
     ijk = _voxel_of(pts_world, voxel_size)
@@ -742,13 +755,31 @@ def insert_dense_moments(
     n_new = jnp.sum((act & ~own_s).astype(jnp.int32))
     if spmd_axis is not None:
         # reassemble the global delta set on every device, then every
-        # replica applies the identical full-budget scatter
+        # replica applies the identical full-budget scatter (-1: the
+        # gathered row count is mesh-size * budget/D — equal to
+        # mom_budget on a real D-mesh, budget/D under the override_ndev
+        # measurement hook)
         delta = jax.lax.all_gather(delta, spmd_axis).reshape(
-            mom_budget, delta.shape[1])
-        dst = jax.lax.all_gather(dst, spmd_axis).reshape(mom_budget)
+            -1, delta.shape[1])
+        dst = jax.lax.all_gather(dst, spmd_axis).reshape(-1)
         # local dst indices of inactive rows are G (drop) — valid
         # globally too, since every replica's table has the same G
         n_new = jax.lax.psum(n_new, spmd_axis)
+        if spmd_dedupe:
+            # per-shard downsample can put the same voxel in two shards:
+            # accumulate-rows are associative (keep all), but a SECOND
+            # replace-row for one cell would subtract `old` twice —
+            # stable-sort the gathered rows by cell and zero replace-
+            # duplicates (identical on every replica: same gathered
+            # arrays, deterministic sort)
+            own_g = jax.lax.all_gather(own_s & act, spmd_axis).reshape(-1)
+            order = jnp.argsort(dst, stable=True)
+            ds_srt = dst[order]
+            dup = jnp.concatenate(
+                [jnp.zeros(1, bool), ds_srt[1:] == ds_srt[:-1]])
+            kill_srt = dup & ~own_g[order]
+            kill = jnp.zeros_like(kill_srt).at[order].set(kill_srt)
+            delta = jnp.where(kill[:, None], 0.0, delta)
     dmom = dmom.at[dst].add(delta, mode="drop")
     return dmom, n_new
 

@@ -472,7 +472,8 @@ def make_sharded_step_fn(cfg, mesh: Mesh, axis: str = "dp"):
 def make_spmd_window_step_fn(cfg, mesh: Mesh, window: int, ls_example,
                              axis: str = "dp",
                              plane_cache: bool | None = None,
-                             unroll: int = 1):
+                             unroll: int = 1,
+                             override_ndev: int | None = None):
     """PRODUCTION-parity multi-chip window step: the full windowed LIO
     device loop (lio.make_window_step_fn) as one shard_map program over
     `mesh`.
@@ -497,11 +498,21 @@ def make_spmd_window_step_fn(cfg, mesh: Mesh, window: int, ls_example,
     where w.pts/pt_t/pt_valid are sharded over their POINT axis
     (NamedSharding(mesh, P(None, axis))) and everything else is
     replicated.
+
+    override_ndev (scaling-model measurement hook ONLY — one real chip,
+    many modeled): build the per-device program of a D-device mesh but
+    run it on this (typically 1-device) mesh.  The device then executes
+    exactly one device's share of the D-way-sharded work (1/D query
+    slice, 1/D insert arithmetic, full replicated stages) — a direct
+    on-chip measurement of T_serial + T_parallel/D, missing only the
+    collectives (accounted separately) and (1-1/D) of the insert
+    scatter.  NOT a correct multi-chip program on this mesh — outputs
+    are 1/D-partial by construction.
     """
     from ..core import imu as imu_mod
     from ..pipeline import lio
 
-    n_dev = mesh.devices.size
+    n_dev = override_ndev or mesh.devices.size
     core = lio._make_step_core(cfg, plane_cache, spmd_axis=axis,
                                spmd_ndev=n_dev)
 

@@ -221,7 +221,14 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             ls.last_acc_w, ls.last_gyr_b,
         )
         pts_body = imu.undistort(x_prop, poses, pts, pt_t)
-        if spmd_axis is not None:
+        # spmd_local_downsample (steady program only): each device
+        # downsamples ITS raw shard to n_ds/D rows — the global sort
+        # drops out of the serial fraction.  Deviation documented at
+        # ShapesConfig.spmd_local_downsample; the insert de-duplicates
+        # replace-rows (spmd_dedupe).
+        local_ds = (spmd_axis is not None and mom_dense
+                    and getattr(sh, "spmd_local_downsample", False))
+        if spmd_axis is not None and not local_ds:
             # reassemble the full undistorted batch from the per-device
             # shards (device-order concat preserves row order; f32 rows
             # — bit-exact, ~n_raw*12*(D-1)/D bytes over ICI)
@@ -239,12 +246,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
         # packed-key sort is valid when the sensor-frame extent fits the
         # 1024-cell wrap period (always at lidar ranges / usual leaves)
         pts_ds, ds_valid = voxel_downsample(
-            pts_body, pt_valid, mp.surf_leaf_size, out_size=sh.n_ds,
+            pts_body, pt_valid, mp.surf_leaf_size,
+            out_size=sh.n_ds // spmd_ndev if local_ds else sh.n_ds,
             packed_key=(2.2 * mp.det_range / mp.surf_leaf_size) < 1000.0,
         )
 
         # ---- iterated ESIKF update ---------------------------------------
-        if spmd_axis is not None:
+        if spmd_axis is not None and not local_ds:
             # query-sharded measurement: this device associates, plane-
             # fits and packs solve rows for ITS contiguous 1/D slice of
             # the downsampled batch; the Gram psum merges (P1)
@@ -253,6 +261,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             pts_meas = jax.lax.dynamic_slice_in_dim(pts_ds, start, n_loc)
             val_meas = jax.lax.dynamic_slice_in_dim(ds_valid, start, n_loc)
         else:
+            # single-chip, or local_ds (pts_ds is already this device's
+            # n_ds/D-row share)
             pts_meas, val_meas = pts_ds, ds_valid
         measure, aux0 = measurement.make_measure_fn(
             ls.map,
@@ -293,6 +303,8 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             return x_prop, P_prop, jnp.zeros((), dtype)
 
         n_valid = jnp.sum(ds_valid.astype(jnp.int32))
+        if local_ds:  # global count (uniform gate across the mesh)
+            n_valid = jax.lax.psum(n_valid, spmd_axis)
         can_update = ls.ekf_inited & (n_valid >= 5)  # laserMapping.cpp:2347
         x_post, P_post, n_eff = jax.lax.cond(can_update, do_update,
                                              skip_update, operand=None)
@@ -319,6 +331,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
                 mom_cap=getattr(cfg.ikdtree, "mom_cap", 24),
                 mom_budget=budget,
                 spmd_axis=spmd_axis, spmd_ndev=spmd_ndev,
+                spmd_pre_sliced=local_ds, spmd_dedupe=local_ds,
             )
             m = ls.map._replace(dmom=new_dmom)
         else:

@@ -143,3 +143,72 @@ def test_insert_dense_moments_spmd_bit_exact(rng):
     got, n_got = f(dmom0, jnp.asarray(batch), jnp.asarray(valid))
     assert int(n_got) == int(n_ref)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_spmd_local_downsample_tracks_8dev():
+    """spmd_local_downsample (per-device downsample of the raw shard,
+    dedupe'd insert): a documented deviation from the global-sort
+    program — must still track ground truth on the 8-device mesh."""
+    W = 4
+    groups = make_lio_sequence(
+        duration=3.0, scan_rate=10.0, imu_rate=100.0, n_points=3000, seed=3,
+        noise=0.004, traj=Trajectory(t_still=1.0, speed=2.0),
+    )
+    origin = np.array([0.0, 0.0, 1.5])
+    cfg = _spmd_cfg()
+    cfg.shapes.spmd_local_downsample = True
+    mesh = sharded.make_mesh(jax.devices("cpu")[:8])
+    pipe = LIOPipeline(cfg, window=W, mesh=mesh)
+    traj, ate = _run(pipe, groups, origin)
+    assert ate < 0.12, f"local-downsample spmd ATE {ate:.3f}"
+    assert pipe.ls.map.dmom is not None
+
+
+def test_insert_dense_moments_spmd_dedupe(rng):
+    """Cross-shard duplicate voxels (per-shard downsample): the FIRST
+    replace-row wins, a second one must not double-subtract the old
+    cell row."""
+    from tests.test_mom_dense import _mk
+
+    voxel = 1.0
+    m = _mk(voxel=voxel, dense=(5, 5, 5))
+    dshape = m.dense.shape
+    G = 32 * 32 * 32
+    dmom0 = jnp.zeros((G, vh.DMOM_CH), jnp.float32)
+
+    # 8 local batches of 4 rows each (pre-sliced inputs); shards 0 and 1
+    # both insert a point into the SAME voxel x=35 (nonzero alias tag ->
+    # replace path on the empty cell)
+    n_dev, n_loc = 8, 4
+    pts = np.zeros((n_dev * n_loc, 3), np.float32)
+    valid = np.zeros(n_dev * n_loc, bool)
+    pts[0] = [35.25, 4.5, 2.5]
+    pts[n_loc] = [35.75, 4.5, 2.5]  # same voxel, different point
+    valid[0] = valid[n_loc] = True
+
+    mesh = sharded.make_mesh(jax.devices("cpu")[:8])
+    vs = m.voxel_size
+
+    def local(d, p, v):
+        return vh.insert_dense_moments(
+            d, dshape, vs, p, v, mom_cap=24, mom_budget=32,
+            spmd_axis="dp", spmd_ndev=8, spmd_pre_sliced=True,
+            spmd_dedupe=True)
+
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+        out_specs=(P(), P()), check_vma=False))
+    dmom, _ = f(dmom0, jnp.asarray(pts), jnp.asarray(valid))
+    lin = vh._dense_linear(dshape, jnp.asarray([[35, 4, 2]]))
+    row = np.asarray(dmom[lin])[0]
+    # exactly ONE replace-row applied: count 1, moments = first point's
+    assert row[1] == 1.0, f"cell count {row[1]} (dup replace applied?)"
+    q0 = pts[0] - np.array([35, 4, 2]) * voxel
+    np.testing.assert_allclose(row[2:5], q0, rtol=1e-6)
+
+    # same-cell ACCUMULATE rows must both land: insert the same two
+    # points again (cell now owned, tag matches -> accumulate path)
+    dmom, _ = f(dmom, jnp.asarray(pts), jnp.asarray(valid))
+    row = np.asarray(dmom[lin])[0]
+    assert row[1] == 3.0, f"accumulates dropped (count {row[1]})"

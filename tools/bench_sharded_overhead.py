@@ -123,16 +123,33 @@ def main():
     ms_spmd = chained_ms(spmd, copy_ls(pipe.ls))
     print(f"# spmd 1-dev W={W}: {ms_spmd:.2f} ms/scan", flush=True)
 
+    # simulated per-device load of a D-device mesh, measured on the one
+    # real chip (override_ndev hook): T_serial + T_parallel/D directly,
+    # modulo (a) the full-width undistort (overcounts by ud*(1-1/D)),
+    # (b) the missing (1-1/D) of the insert scatter, (c) collectives —
+    # all small and accounted in MULTICHIP.md
+    sims = {}
+    for D in (2, 4, 8):
+        s = sharded.make_spmd_window_step_fn(cfg, mesh, W, pipe.ls,
+                                             unroll=W, override_ndev=D)
+        sims[D] = chained_ms(s, copy_ls(pipe.ls))
+        print(f"# spmd sim D={D} per-device W={W}: {sims[D]:.2f} ms/scan",
+              flush=True)
+
     print(json.dumps({
         "metric": "spmd_1dev_overhead",
         "production_ms_per_scan": round(ms_prod, 2),
         "spmd_1dev_ms_per_scan": round(ms_spmd, 2),
         "overhead_ratio": round(ms_spmd / ms_prod, 3),
+        "sim_per_device_ms": {str(d): round(v, 2)
+                              for d, v in sims.items()},
         "window": W,
         "note": ("production-parity SPMD window step (replicated map, "
                  "query-sharded points, psum'd Gram) on a 1-device mesh "
                  "vs the single-chip production window step, both "
-                 "chained on-device, min-of-groups"),
+                 "chained on-device, min-of-groups; sim_per_device_ms "
+                 "= measured per-device step of a D-device mesh via "
+                 "override_ndev"),
     }), flush=True)
 
 
