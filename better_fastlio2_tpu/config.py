@@ -195,6 +195,11 @@ class LIOConfig:
     # out at laserMapping.cpp:2271-2307; here a first-class flag)
     dynamic_removal: bool = False
     sensor_height: float = 0.4  # segment/sensor_height param
+    # SSC curved-voxel PD gates use their own height when set (tall
+    # mounts: ground segmentation needs the true mount height while the
+    # PD band — "grounded objects up to ~sensor_height+0.5 m tall" —
+    # keeps the near-ground tuning); None = sensor_height
+    ssc_sensor_height: float | None = None
     # camera colorization block (reference yaml `camera:` —
     # config/mulran.yaml; paramSetting laserMapping.cpp:279-290): raw
     # dict with camera_internal / camera_external / camera_en, consumed

@@ -371,12 +371,16 @@ def make_lio_sequence(
     noise: float = 0.005,
     traj: Trajectory | None = None,
     world: SyntheticWorld | None = None,
+    labels: bool = False,
 ):
     """Generate a full synchronized sequence of (scan, imu) measurement
     groups, the sync_packages analog (laserMapping.cpp:1374).
 
     Yields dicts with keys: pts, pt_t, imu_acc, imu_gyr, imu_t,
     scan_beg_abs, scan_end_t, gt_pos, gt_rot (ground truth at scan end).
+    labels=True (worlds whose scan() supports return_labels, i.e.
+    OutdoorWorld) adds gt_dynamic: the per-return mover ground truth —
+    the PR/RR/F1 evaluation input for dynamic removal.
     """
     rng = np.random.default_rng(seed)
     traj = traj or Trajectory()
@@ -388,9 +392,17 @@ def make_lio_sequence(
     for k in range(n_scans):
         t0 = k * scan_T
         t1 = t0 + scan_T
-        pts, pt_t = world.scan(
-            traj.pos, traj.rot, t0, scan_T, n_points, noise=noise, rng=rng
-        )
+        gt_dyn = None
+        if labels:
+            pts, pt_t, gt_dyn = world.scan(
+                traj.pos, traj.rot, t0, scan_T, n_points, noise=noise,
+                rng=rng, return_labels=True
+            )
+        else:
+            pts, pt_t = world.scan(
+                traj.pos, traj.rot, t0, scan_T, n_points, noise=noise,
+                rng=rng
+            )
         # IMU samples covering [t0 - imu_T, t1] (head = prev packet tail)
         ts = np.arange(np.floor(t0 / imu_T) * imu_T - imu_T, t1 + 1e-9, imu_T)
         samples = [traj.imu_sample(t, rng, 0.01, 0.001) for t in ts]
@@ -407,6 +419,7 @@ def make_lio_sequence(
                 scan_end_t=scan_T,
                 gt_pos=traj.pos(t1),
                 gt_rot=traj.rot(t1),
+                **({"gt_dynamic": gt_dyn} if gt_dyn is not None else {}),
             )
         )
     return groups

@@ -242,7 +242,8 @@ class SLAMPipeline:
         prm = getattr(self, "_ssc_params", None)
         if prm is None:
             h = getattr(self.cfg, "sensor_height", 0.4)
-            self._ssc_params = dyn.SSCParams(sensor_height=h)
+            hs = getattr(self.cfg, "ssc_sensor_height", None) or h
+            self._ssc_params = dyn.SSCParams(sensor_height=hs)
             self._pw_params = PatchworkParams(sensor_height=h)
             self._prev_grid = None
             prm = self._ssc_params
@@ -251,18 +252,45 @@ class SLAMPipeline:
         gm = estimate_ground(p, valid, self._pw_params)
         # relative pose prev<-cur approximated by the last inter-scan
         # motion (constant velocity); the 27-neighbourhood overlap test
-        # absorbs the residual error at scan rate
+        # absorbs the residual error at scan rate.
+        # dyn_track_gap > 1 tracks against the grid `gap` scans back
+        # instead of the immediately preceding one: at 10 Hz a 1-2 m/s
+        # mover displaces only 0.1-0.2 m between consecutive frames —
+        # inside the 27-neighbourhood overlap slack — while `gap` frames
+        # buy gap-times the displacement signal at the cost of gap-times
+        # the odometry-relative-pose extrapolation error.  gap=1 is the
+        # reference's consecutive-frame semantics (tgrs.cpp trackPD).
+        gap = max(1, int(getattr(self.cfg, "dyn_track_gap", 1)))
         traj = self.lio.trajectory
         rel = se3.identity(jnp.float32)
-        if len(traj) >= 2:
-            p_prev = jnp.asarray(traj[-2], jnp.float32)
-            p_cur = jnp.asarray(traj[-1], jnp.float32)
-            rel = se3.between(p_cur, p_prev).astype(jnp.float32)
+        if len(traj) >= gap + 1:
+            # track_pd wants T_prev<-next = prev^-1 * next (its centers
+            # are in the CURRENT scan frame and get projected into the
+            # tracked grid's frame).  The current scan's pose is not in
+            # `trajectory` yet — extrapolate constant-velocity from the
+            # last completed step; the tracked grid's scan (`gap` scans
+            # before current) has pose trajectory[-gap].
+            p_last = jnp.asarray(traj[-1], jnp.float32)
+            step = (se3.between(jnp.asarray(traj[-2], jnp.float32), p_last)
+                    if len(traj) >= 2 else se3.identity(jnp.float32))
+            cur_est = se3.compose(p_last, step)
+            p_prev = jnp.asarray(traj[-gap], jnp.float32)
+            rel = se3.between(p_prev, cur_est).astype(jnp.float32)
+        hist = getattr(self, "_grid_hist", None)
+        if hist is None:
+            from collections import deque
+
+            self._grid_hist = hist = deque(maxlen=gap)
+        prev_grid = hist[0] if len(hist) == gap else None
         static, grid = dyn.dynamic_removal_masks(
-            p, valid, gm, self._prev_grid, rel, prm
+            p, valid, gm, prev_grid, rel, prm
         )
+        hist.append(grid)
         self._prev_grid = grid
         keep = np.asarray(static)
+        # per-scan removal decision, exposed for the PR/RR/F1 evaluation
+        # loop (run.py dynamic_report.json; consumed-and-cleared per scan)
+        self.last_dynamic_mask = ~keep
         # inspection dumps (saveColorCloud analog, tgrs.cpp:214-243):
         # per-scan cluster-colored cloud + the removed (dynamic) points
         dump = getattr(self, "dynamic_dump_dir", None)

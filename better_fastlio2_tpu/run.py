@@ -48,6 +48,21 @@ def _groups_from_dataset(spec: str, args):
             duration=args.duration, n_points=args.n_points, seed=args.seed,
             traj=Trajectory(t_still=1.0, speed=2.0),
         )
+    if spec == "synthetic-outdoor":
+        # the hostile outdoor world with labelled movers: groups carry
+        # gt_dynamic, so a --dynamic run writes dynamic_report.json
+        # (PR/RR/F1 vs ground truth — analysis.py analog).  The sensor
+        # rides at 2.0 m (truck mount) so the car-height movers fall
+        # inside the SSC PD gates at the default sensor_height=0.4 —
+        # the same geometry tests/test_perception.py validates.
+        from .io.synthetic import (OutdoorWorld, Trajectory,
+                                   make_lio_sequence)
+
+        return make_lio_sequence(
+            duration=args.duration, n_points=args.n_points, seed=args.seed,
+            traj=Trajectory(t_still=1.0, speed=2.0, height=2.0),
+            world=OutdoorWorld(seed=args.seed), labels=True,
+        )
     kind, _, path = spec.partition(":")
     if kind == "kitti":
         from .io.kitti import KittiRawSequence
@@ -81,6 +96,15 @@ def cmd_mapping(args):
     cfg.loop.enable = bool(args.loop)
     cfg.dynamic_removal = bool(getattr(args, 'dynamic', False))
     cfg.sensor_height = getattr(args, 'sensor_height', 0.4)
+    cfg.ssc_sensor_height = getattr(args, 'ssc_sensor_height', None)
+    if (args.dataset == "synthetic-outdoor" and cfg.dynamic_removal
+            and cfg.sensor_height == 0.4):
+        # truck-mount geometry of the labelled-mover world: ground
+        # segmentation needs the true 2.0 m mount, the SSC PD band
+        # keeps the near-ground tuning (see _groups_from_dataset)
+        cfg.sensor_height = 2.0
+        cfg.ssc_sensor_height = cfg.ssc_sensor_height or 0.4
+        cfg.dyn_track_gap = 5  # 0.5 s tracking gap (see slam.py)
     if getattr(args, "gps", False):
         cfg.gps.enable = True
     # async pose-graph optimization by default when loops are on — the
@@ -190,6 +214,7 @@ def cmd_mapping(args):
     if state_log is None and args.state_log:
         print("--state-log needs --output; ignoring", file=sys.stderr)
 
+    dyn_pred, dyn_gt = [], []  # PR/RR/F1 accumulation (labelled worlds)
     for g in _groups_from_dataset(args.dataset, args):
         # drain GPS fixes up to this scan's end into the backend
         t_end = g["scan_beg_abs"] + g["scan_end_t"]
@@ -203,6 +228,12 @@ def cmd_mapping(args):
                 g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
                 g["scan_beg_abs"], g["scan_end_t"],
             )
+        # dynamic-removal quality vs ground truth (synthetic-outdoor +
+        # --dynamic): accumulate this scan's removal decision
+        mask = pipe.__dict__.pop("last_dynamic_mask", None)
+        if mask is not None and g.get("gt_dynamic") is not None:
+            dyn_pred.append(mask)
+            dyn_gt.append(g["gt_dynamic"])
         timer.count("scan_points", len(g["pts"]))
         timer.end_scan()
         n += 1
@@ -235,16 +266,34 @@ def cmd_mapping(args):
         mat_out.close()
     if args.output:
         _save(args.output)
-    print(
-        json.dumps(
-            {
-                "scans": n,
-                "keyframes": len(pipe.keyframes),
-                "loops": len(pipe.loop_pairs),
-                "scans_per_sec": round(timer.scans_per_sec(skip=8), 2),
-            }
-        )
-    )
+    summary = {
+        "scans": n,
+        "keyframes": len(pipe.keyframes),
+        "loops": len(pipe.loop_pairs),
+        "scans_per_sec": round(timer.scans_per_sec(skip=8), 2),
+    }
+    if dyn_pred:
+        # dynamic-removal quality report vs labelled ground truth (the
+        # reference's include/analysis/analysis.py evaluation, run
+        # in-line): PR/RR/F1 over all scans past the first (frame 0 has
+        # no previous grid to track against)
+        from .io.evaluate import pr_rr_f1
+
+        pr, rr, f1 = pr_rr_f1(np.concatenate(dyn_pred[1:] or dyn_pred),
+                              np.concatenate(dyn_gt[1:] or dyn_gt))
+        report = {"precision": round(float(pr), 4),
+                  "recall": round(float(rr), 4),
+                  "f1": round(float(f1), 4),
+                  "n_scans": len(dyn_pred),
+                  "n_points": int(sum(len(p) for p in dyn_pred))}
+        summary["dynamic_pr_rr_f1"] = [report["precision"],
+                                       report["recall"], report["f1"]]
+        if args.output:
+            os.makedirs(args.output, exist_ok=True)
+            with open(os.path.join(args.output,
+                                   "dynamic_report.json"), "w") as f:
+                json.dump(report, f, indent=1)
+    print(json.dumps(summary))
 
 
 def cmd_multi_session(args):
@@ -326,7 +375,9 @@ def main(argv=None):
 
     mp = sub.add_parser("mapping", help="LIO-SAM mapping run")
     mp.add_argument("--dataset", required=True,
-                    help="synthetic | kitti:<dir> | mulran:<dir> | nclt:<dir>")
+                    help="synthetic | synthetic-outdoor (labelled movers"
+                         " -> dynamic_report.json with --dynamic) | "
+                         "kitti:<dir> | mulran:<dir> | nclt:<dir>")
     mp.add_argument("--config", default=None)
     mp.add_argument("--output", default=None)
     mp.add_argument("--loop", action="store_true")
@@ -357,6 +408,9 @@ def main(argv=None):
                          "points (%%06d_removed.pcd) to DIR — the "
                          "saveColorCloud inspection analog (tgrs.cpp)")
     mp.add_argument("--sensor-height", type=float, default=0.4)
+    mp.add_argument("--ssc-sensor-height", type=float, default=None,
+                    help="decouple the SSC PD-gate height from the "
+                         "ground-segmentation mount height (tall mounts)")
     mp.add_argument("--max-scans", type=int, default=0)
     mp.add_argument("--duration", type=float, default=8.0)
     mp.add_argument("--n-points", type=int, default=8000)
