@@ -211,6 +211,14 @@ def main():
     workload = "room"
     if "--workload" in sys.argv:
         workload = sys.argv[sys.argv.index("--workload") + 1]
+    # --slam: the FULL SLAM path in the measured loop — keyframing +
+    # Scan Context loop closure + async pose-graph backend live, on a
+    # loop-closing trajectory (the reference's main tick runs
+    # saveKeyFramesAndFactor + the loop thread inside the measured path,
+    # laserMapping.cpp:2380-2404, 1021-1038).  Backend compute runs on
+    # the host CPU backend exactly like the reference's CPU loop thread,
+    # keeping the chip queue for the front-end stream.
+    slam = "--slam" in sys.argv
 
     cfg = LIOConfig()
     # Reference-KITTI workload (launch/mapping_velodyne64_kitti_dataset
@@ -286,15 +294,40 @@ def main():
     window = 8
     if "--window" in sys.argv:
         window = int(sys.argv[sys.argv.index("--window") + 1])
-    groups = make_bench_sequence(workload, n_scans)
+    if slam:
+        from better_fastlio2_tpu.io.synthetic import (Trajectory,
+                                                      make_lio_sequence)
+
+        # loop-closing circle (radius speed/yaw_rate = 7.5 m, period
+        # ~15.7 s): 240 scans = ~1.5 laps, so the second lap revisits
+        # keyframes old enough to pass the loop time gate
+        cfg.loop.enable = True
+        cfg.loop.search_radius = 10.0
+        cfg.loop.search_time_diff = 10.0
+        cfg.mapping.keyframe_adding_dist_threshold = 1.0
+        groups = list(make_lio_sequence(
+            duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
+            n_points=30_000, seed=7, noise=0.004,
+            traj=Trajectory(t_still=0.7, speed=3.0, yaw_rate=0.4)))
+    else:
+        groups = make_bench_sequence(workload, n_scans)
 
     print("# sequence ready", flush=True)
     # quantized wire format: 2 transfers/window instead of ~10 (the
     # transport pays ~20-25 ms latency per transfer at ~35 MB/s)
     # unroll=window: ~0.5 ms/scan less lax.scan loop overhead (the
     # window program compiles W-times larger, once)
-    pipe = LIOPipeline(cfg, pipelined=True, window=window, quantized=True,
-                       unroll=window)
+    if slam:
+        from better_fastlio2_tpu.pipeline.slam import SLAMPipeline
+
+        pipe = SLAMPipeline(
+            cfg, async_backend=True, backend_on_host=True,
+            lio_kwargs=dict(window=window, quantized=True, unroll=window))
+        lio = pipe.lio
+    else:
+        pipe = LIOPipeline(cfg, pipelined=True, window=window,
+                           quantized=True, unroll=window)
+        lio = pipe
     # warmup covers IMU init, map growth, and the jit compiles of BOTH
     # window programs (the 5-NN warmup variant fires first, the
     # plane-cache program compiles at its first post-warmup dispatch —
@@ -304,11 +337,11 @@ def main():
     gt_pos = []  # ground truth for every scan the pipeline processes
     assoc = []  # (n_eff, n_ds) per returned scan — hit-rate statistics
     for i, g in enumerate(groups):
-        if pipe.inited and i >= warmup and (i - warmup) % window == 0:
+        if lio.inited and i >= warmup and (i - warmup) % window == 0:
             marks.append(time.perf_counter())
         if i % 40 == 0:
             print(f"# scan {i}", flush=True)  # watchdog heartbeat
-        if pipe.inited:
+        if lio.inited:
             gt_pos.append(g["gt_pos"])
         r = pipe.process_scan(
             g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
@@ -321,7 +354,7 @@ def main():
     print("# timed run done", flush=True)
 
     # a benchmark of a diverged filter is meaningless — refuse to report
-    traj = np.array(pipe.trajectory)
+    traj = np.array(lio.trajectory)
     if not np.all(np.isfinite(traj)):
         raise RuntimeError("trajectory went non-finite during bench")
 
@@ -344,7 +377,43 @@ def main():
     # 0.013 m — gate kept a touch looser for clutter-seed variance)
     BASELINE_END_ERR = {"room": 0.015, "outdoor": 0.026}
     BASELINE_END_ERR_M = BASELINE_END_ERR.get(workload, 0.05)
-    if end_err_m > 2.0 * BASELINE_END_ERR_M or ate_m > 10.0 * BASELINE_END_ERR_M:
+    slam_extra = {}
+    if slam:
+        # --slam gates on the BACKEND doing its job instead of the
+        # straight-path end-error gate (different trajectory): loops
+        # must fire, and the loop-corrected keyframe poses must beat
+        # the raw odometry poses against ground truth.
+        if not pipe.loop_pairs:
+            raise RuntimeError("slam bench: no loop closures fired")
+        t2gt = {round(g["scan_beg_abs"] + g["scan_end_t"], 6): g["gt_pos"]
+                for g in groups}
+        kf_gt, kf_odom, kf_corr = [], [], []
+        for kf in pipe.keyframes:
+            g = t2gt.get(round(kf.t, 6))
+            if g is None:
+                continue
+            kf_gt.append(g)
+            kf_odom.append(kf.odom_pose[4:7])
+            kf_corr.append(kf.pose[4:7])
+        kf_gt = np.asarray(kf_gt) - kf_gt[0]
+        kf_odom = np.asarray(kf_odom) - kf_odom[0]
+        kf_corr = np.asarray(kf_corr) - kf_corr[0]
+        ate_odom = float(np.sqrt(np.mean(
+            np.sum((kf_odom - kf_gt) ** 2, axis=1))))
+        ate_corr = float(np.sqrt(np.mean(
+            np.sum((kf_corr - kf_gt) ** 2, axis=1))))
+        if not np.isfinite(ate_corr) or ate_corr > max(0.25, ate_odom):
+            raise RuntimeError(
+                f"slam bench: corrected ATE {ate_corr:.3f} m worse than "
+                f"odometry ATE {ate_odom:.3f} m")
+        slam_extra = {
+            "n_keyframes": len(pipe.keyframes),
+            "n_loops": len(pipe.loop_pairs),
+            "ate_odom_keyframes_m": round(ate_odom, 4),
+            "ate_corrected_keyframes_m": round(ate_corr, 4),
+        }
+    elif (end_err_m > 2.0 * BASELINE_END_ERR_M
+            or ate_m > 10.0 * BASELINE_END_ERR_M):
         raise RuntimeError(
             f"accuracy gate failed: end_err {end_err_m:.3f} m "
             f"(gate {2.0 * BASELINE_END_ERR_M:.3f}), ATE {ate_m:.3f} m")
@@ -373,18 +442,18 @@ def main():
     wins = []
     for c in range(chain):
         lo = len(groups) - (chain - c) * window
-        rows = [pipe._pack_quant(
-            *pipe._pad_points(g["pts"], g["pt_t"]),
-            *pipe._pad_imu(g["imu_acc"], g["imu_gyr"], g["imu_t"]),
+        rows = [lio._pack_quant(
+            *lio._pad_points(g["pts"], g["pt_t"]),
+            *lio._pad_imu(g["imu_acc"], g["imu_gyr"], g["imu_t"]),
             0.0, float(g["scan_end_t"]))
             for g in groups[lo:lo + window]]
         wins.append(QuantWindowInputs(
             bulk=jnp.asarray(np.stack([r[0] for r in rows])),
             meta=jnp.asarray(np.stack([r[1] for r in rows])),
         ))
-    an = jnp.asarray(pipe.acc_norm, pipe.dtype)
-    ls = pipe.ls
-    ls, _ = pipe._wstep(ls, wins[0], an)  # warm (program compiled)
+    an = jnp.asarray(lio.acc_norm, lio.dtype)
+    ls = lio.ls
+    ls, _ = lio._wstep(ls, wins[0], an)  # warm (program compiled)
     np.asarray(_[0])
     # groups of chained windows with one sync each; MIN of the groups —
     # the chained measurement shares the tunnel (one sync per group), so
@@ -396,7 +465,7 @@ def main():
     for _g in range(n_groups):
         t0 = time.perf_counter()
         for _i in range(chain):
-            ls, infos = pipe._wstep(ls, wins[_i], an)
+            ls, infos = lio._wstep(ls, wins[_i], an)
         np.asarray(infos[0])
         group_ms.append(1e3 * (time.perf_counter() - t0) / (chain * window))
     device_ms = float(np.min(group_ms))
@@ -405,10 +474,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "scans_per_sec_per_chip",
+                "metric": ("slam_scans_per_sec_per_chip" if slam
+                           else "scans_per_sec_per_chip"),
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s",
-                "workload": workload,
+                "workload": workload + ("+slam" if slam else ""),
+                **slam_extra,
                 "window": window,
                 "vs_baseline": round(scans_per_sec / base, 3),
                 "baseline_scans_per_sec": base,

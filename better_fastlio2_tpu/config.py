@@ -180,6 +180,29 @@ class ShapesConfig:
     # path.  Off by default — the default SPMD program matches the
     # single-chip program to reduction order.
     spmd_local_downsample: bool = False
+    # mom_dense torus z-span policy: the pipeline derives map_dense_log2
+    # from det_range/voxel when it is None (derive_map_dense_log2), and
+    # a z span below det_range is a HARD ERROR — a tall structure would
+    # silently alias distinct voxels within one insert batch.  Setting
+    # map_dense_z_clip=True opts into a smaller z span: insert rows are
+    # then clipped to a sensor-centred z window of the span (alias-free
+    # by construction; geometry beyond the window is not mapped —
+    # bounded behavior for narrow-vertical-FoV sensors).  Association
+    # is unaffected.
+    map_dense_z_clip: bool = False
+
+
+def derive_map_dense_log2(det_range: float, voxel: float) -> tuple:
+    """Smallest per-axis log2 torus dims that satisfy the mom_dense
+    aliasing preconditions (pipeline/lio.py make_step): horizontal span
+    >= 2*det_range (hard bound for a 360-deg scanner's within-batch
+    spread) and vertical span >= det_range (covers a +-30 deg vertical
+    FoV at full range)."""
+    import math
+
+    lx = max(1, math.ceil(math.log2(2.0 * det_range / voxel)))
+    lz = max(1, math.ceil(math.log2(det_range / voxel)))
+    return (lx, lx, lz)
 
 
 @dataclass
@@ -200,6 +223,26 @@ class LIOConfig:
     # PD band — "grounded objects up to ~sensor_height+0.5 m tall" —
     # keeps the near-ground tuning); None = sensor_height
     ssc_sensor_height: float | None = None
+    # PD->HD tracking mode (perception.dynamic):
+    #   "overlap"  — the reference's trackPD semantics (tgrs.cpp:141-212):
+    #                27-neighbourhood occupancy overlap vs the grid
+    #                `dyn_track_gap` scans back.  Weak for slow extended
+    #                movers at scan rate (0.1-0.2 m/frame displacements
+    #                stay inside both the overlap slack AND the object's
+    #                own footprint).
+    #   "centroid" — K-frame track accumulation: PD cluster centroids
+    #                (world frame via the odometry pose) are associated
+    #                against the last `dyn_track_k` PD sets; a cluster is
+    #                demoted to HD only when >= 2 of the long-gap
+    #                associations show displacement above
+    #                dyn_track_vmin * age (a consistency vote — one
+    #                spurious miss cannot demote).  Fixes the 10 Hz
+    #                recall problem the overlap test shares with the
+    #                reference.
+    dyn_track_mode: str = "overlap"
+    dyn_track_gap: int = 1  # overlap mode: track vs the grid N scans back
+    dyn_track_k: int = 8  # centroid mode: history depth (frames)
+    dyn_track_vmin: float = 0.7  # centroid mode: min speed (m/s) for HD
     # camera colorization block (reference yaml `camera:` —
     # config/mulran.yaml; paramSetting laserMapping.cpp:279-290): raw
     # dict with camera_internal / camera_external / camera_en, consumed
@@ -310,6 +353,8 @@ class LIOConfig:
         if "map_dense_log2" in shp:
             v = shp["map_dense_log2"]
             cfg.shapes.map_dense_log2 = tuple(v) if v is not None else None
+        if "map_dense_z_clip" in shp:
+            cfg.shapes.map_dense_z_clip = bool(shp["map_dense_z_clip"])
         if "dtype" in d:
             cfg.dtype = d["dtype"]
         if "dynamic_removal" in d:

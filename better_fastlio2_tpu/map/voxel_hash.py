@@ -672,26 +672,32 @@ def insert_dense_moments(
 
     spmd_axis (inside shard_map over spmd_ndev devices, `dmom` and the
     batch REPLICATED): the header gather, cap/need gating, compaction
-    and delta-row arithmetic run on each device's contiguous 1/D row
-    slice with a mom_budget/D compaction; an all_gather of the
-    (budget/D, DMOM_CH+1) delta rows reassembles the identical global
-    delta set on every device and the full-budget scatter applies it to
-    every replica.  Replicas stay bit-identical (deltas are computed
-    against the same replicated table; each selected row's cell is
-    unique in the batch so scatter order cannot matter).  Vs the
-    single-device selection the only semantic delta is WHICH rows drop
-    when the budget binds (per-slice ascending caps instead of one
-    global ascending cap — same total budget, overflow self-heals next
-    scan, like every budgeted path here).
+    and delta-row arithmetic run on each device's STRIDED 1/D row
+    subset (rows d::D) with a mom_budget/D compaction; an all_gather of
+    the (budget/D, DMOM_CH+1) delta rows reassembles the identical
+    global delta set on every device and the full-budget scatter
+    applies it to every replica.  Replicas stay bit-identical (deltas
+    are computed against the same replicated table; each selected row's
+    cell is unique in the batch so scatter order cannot matter).  The
+    stride matters when the budget binds: voxel_downsample compacts
+    valid rows to the FRONT of the batch, so contiguous slices would
+    pile every need-row onto the first device(s) (effective budget
+    collapsing toward budget/D); striding spreads front-compacted rows
+    evenly, keeping the aggregate selection within ~1 row/device of the
+    single-chip global ascending cap.  Overflow beyond the budget
+    self-heals next scan, like every budgeted path here.
 
     spmd_pre_sliced: `pts_world`/`valid` are ALREADY this device's
     local rows (the spmd_local_downsample path) — skip the slicing;
     the per-device budget is still mom_budget/spmd_ndev.
-    spmd_dedupe: the batch is NOT globally voxel-deduplicated
-    (per-shard downsample): among gathered rows targeting the same
-    cell, keep every accumulate-row (associative) but only the FIRST
-    replace-row — a second replace-delta would subtract the old row
-    twice and corrupt the cell.
+    spmd_dedupe: retained for API compatibility; the replace-dedupe it
+    named (among rows targeting the same cell keep every accumulate-row
+    but only the FIRST replace-row — a second replace-delta would
+    subtract the old row twice and corrupt the cell) is now ALWAYS on,
+    in both the spmd and single-device paths: even a globally
+    voxel-deduplicated batch can hold same-world-voxel duplicates,
+    because the downsample de-duplicates in the body frame and the
+    body->world transform merges boundary-straddling rows.
     """
     n = pts_world.shape[0]
     G = dmom.shape[0]
@@ -701,8 +707,15 @@ def insert_dense_moments(
         if not spmd_pre_sliced:
             assert n % spmd_ndev == 0, (n, spmd_ndev)
             n_loc = n // spmd_ndev
-            start = jax.lax.axis_index(spmd_axis) * n_loc
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_loc)  # noqa: E731
+            d = jax.lax.axis_index(spmd_axis)
+
+            def sl(a):
+                # strided rows d::D (see docstring): reshape to
+                # (n_loc, D, ...) and slice the device's column
+                r = a.reshape((n_loc, spmd_ndev) + a.shape[1:])
+                s = jax.lax.dynamic_slice_in_dim(r, d, 1, axis=1)
+                return s.reshape((n_loc,) + a.shape[1:])
+
             pts_world, valid = sl(pts_world), sl(valid)
             n = n_loc
     else:
@@ -753,6 +766,26 @@ def insert_dense_moments(
     delta = delta * one[:, None]
     dst = jnp.where(act, lin[sm], G)
     n_new = jnp.sum((act & ~own_s).astype(jnp.int32))
+
+    def _kill_replace_dups(dst_rows, own_rows, delta_rows):
+        # duplicate rows targeting ONE cell: accumulate-rows are
+        # associative (keep all), but a SECOND replace-row would
+        # subtract `old` twice and drive the cell count negative.
+        # Duplicates are rare but real even on one device: the scan
+        # downsample de-duplicates in the BODY frame, and the
+        # body->world transform can put two boundary-straddling rows
+        # into one world voxel (same ijk, same tag -> both replace
+        # when the cell is stale).  Stable-sort by cell and zero every
+        # replace-row after the first.  (n_new still counts both —
+        # diagnostic only.)
+        order = jnp.argsort(dst_rows, stable=True)
+        ds_srt = dst_rows[order]
+        dup = jnp.concatenate(
+            [jnp.zeros(1, bool), ds_srt[1:] == ds_srt[:-1]])
+        kill_srt = dup & ~own_rows[order]
+        kill = jnp.zeros_like(kill_srt).at[order].set(kill_srt)
+        return jnp.where(kill[:, None], 0.0, delta_rows)
+
     if spmd_axis is not None:
         # reassemble the global delta set on every device, then every
         # replica applies the identical full-budget scatter (-1: the
@@ -765,21 +798,16 @@ def insert_dense_moments(
         # local dst indices of inactive rows are G (drop) — valid
         # globally too, since every replica's table has the same G
         n_new = jax.lax.psum(n_new, spmd_axis)
-        if spmd_dedupe:
-            # per-shard downsample can put the same voxel in two shards:
-            # accumulate-rows are associative (keep all), but a SECOND
-            # replace-row for one cell would subtract `old` twice —
-            # stable-sort the gathered rows by cell and zero replace-
-            # duplicates (identical on every replica: same gathered
-            # arrays, deterministic sort)
-            own_g = jax.lax.all_gather(own_s & act, spmd_axis).reshape(-1)
-            order = jnp.argsort(dst, stable=True)
-            ds_srt = dst[order]
-            dup = jnp.concatenate(
-                [jnp.zeros(1, bool), ds_srt[1:] == ds_srt[:-1]])
-            kill_srt = dup & ~own_g[order]
-            kill = jnp.zeros_like(kill_srt).at[order].set(kill_srt)
-            delta = jnp.where(kill[:, None], 0.0, delta)
+        # replace-dedupe on the gathered global set — identical on
+        # every replica (same gathered arrays, deterministic sort).
+        # Always on since round 5: cross-shard duplicates (per-shard
+        # downsample, spmd_dedupe callers) AND within-batch body->world
+        # boundary-straddle duplicates both corrupt stale cells.
+        del spmd_dedupe  # retained in the signature; dedupe is always on
+        own_g = jax.lax.all_gather(own_s & act, spmd_axis).reshape(-1)
+        delta = _kill_replace_dups(dst, own_g, delta)
+    else:
+        delta = _kill_replace_dups(dst, own_s & act, delta)
     dmom = dmom.at[dst].add(delta, mode="drop")
     return dmom, n_new
 
@@ -788,9 +816,12 @@ def build_dense_moments(m: VoxelHashMap, center) -> jax.Array:
     """One-shot (G, DMOM_CH) dense moment table from the slot moments —
     the warmup→steady handoff (host-side, once).  Voxel coords come from
     the packed keys unwrapped around `center` (the FoV-cube center), so
-    point-less moments_only voxels transfer too.  Precondition (same as
-    every budgeted dense-path user): the live map extent fits within the
-    torus span per axis, so no two live voxels share a torus cell."""
+    point-less moments_only voxels transfer too.  The transfer is
+    WINDOWED to the torus span around `center` (per axis, half-span
+    minus one cell): a warmup map whose extent exceeds the span (tall
+    structures, beyond-det_range returns) would otherwise scatter two
+    live voxels into one torus cell and seed the steady table with
+    corrupt rows + stale tags."""
     assert m.mom is not None and m.dense is not None
     dense_shape = m.dense.shape
     G = dense_shape[0] * dense_shape[1] * dense_shape[2]
@@ -798,6 +829,9 @@ def build_dense_moments(m: VoxelHashMap, center) -> jax.Array:
     center_ijk = _voxel_of(jnp.asarray(center, m.points.dtype),
                            m.voxel_size)
     coords = _unpack_rel(m.key, center_ijk)
+    for ax in range(3):
+        hw_cells = (dense_shape[ax] >> 1) - 1
+        live = live & (jnp.abs(coords[:, ax] - center_ijk[ax]) <= hw_cells)
     lin = _dense_linear(dense_shape, coords)
     tag = _alias_tag(dense_shape, coords).astype(m.points.dtype)
     rows = jnp.concatenate(

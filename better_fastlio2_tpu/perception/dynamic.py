@@ -278,6 +278,86 @@ def dynamic_removal_masks(
     return static, grid
 
 
+# -- K-frame centroid tracking (the dyn_track_mode="centroid" upgrade) ----
+#
+# The reference's trackPD (tgrs.cpp:141-212) tests 27-neighbourhood
+# occupancy overlap against ONE previous frame — at 10 Hz a 1-2 m/s
+# mover displaces 0.1-0.2 m/frame, inside both the overlap slack and the
+# object's own footprint (a 4 m car moving lengthwise still overlaps
+# ~85% of itself), so recall collapses.  Centroids don't have that
+# problem: an extended object's centroid moves with the object
+# regardless of its size.  Track PD cluster centroids in the WORLD
+# frame over the last K frames and demote to HD only on a consistent
+# multi-frame displacement vote.
+
+_vc_cache: dict = {}
+
+
+def _voxel_centers_np(prm: SSCParams):
+    import numpy as np
+
+    key = tuple(prm)
+    if key not in _vc_cache:
+        _vc_cache[key] = np.asarray(_voxel_centers(prm)).reshape(-1, 3)
+    return _vc_cache[key]
+
+
+def pd_cluster_centroids(grid: SSCGrid, pd_mask, prm: SSCParams):
+    """Host-side per-PD-cluster stats: (labels (M,), centroids (M,3)
+    scan frame, voxel counts (M,)).  Centroid = mean of the cluster's
+    occupied curved-voxel centers (cheap, point-count independent)."""
+    import numpy as np
+
+    lab = np.asarray(grid.labels).reshape(-1)
+    pd = np.asarray(pd_mask).reshape(-1) & (lab >= 0)
+    if not pd.any():
+        z = np.zeros(0)
+        return z.astype(np.int64), np.zeros((0, 3), np.float32), z.astype(np.int64)
+    labs = lab[pd]
+    cent = _voxel_centers_np(prm)[pd]
+    uniq, inv, cnt = np.unique(labs, return_inverse=True,
+                               return_counts=True)
+    sums = np.zeros((len(uniq), 3))
+    np.add.at(sums, inv, cent)
+    return uniq, (sums / cnt[:, None]).astype(np.float32), cnt
+
+
+def track_centroids_hd(cur_cents_w, hist, dt: float, v_min: float = 0.7,
+                       v_max: float = 4.5, min_gap_s: float = 0.4,
+                       assoc_slack: float = 0.6, min_votes: int = 2):
+    """Per-current-cluster HD bool from K-frame centroid accumulation.
+
+    cur_cents_w: (M,3) world-frame centroids of the current PD clusters.
+    hist: iterable of (age_frames, cents_world) — previous frames' PD
+    centroid sets, any order.  Only gaps with age*dt >= min_gap_s carry
+    displacement signal (below that, centroid sampling noise ~0.2 m
+    drowns a 1 m/s mover).  Against each such frame the nearest old
+    centroid is the association; a displacement inside the plausible
+    mover band (v_min*age*dt, v_max*age*dt + assoc_slack] votes HD —
+    below it the cluster sat still, beyond it nothing can be said (new
+    cluster / occlusion: no vote, conservative).  HD needs >= min_votes
+    votes, so a single spurious miss (cluster split, occlusion) cannot
+    demote a static cluster — protecting precision exactly like the
+    reference's conservative hd_ratio gate intends.
+    """
+    import numpy as np
+
+    M = len(cur_cents_w)
+    votes = np.zeros(M, np.int32)
+    if M == 0:
+        return np.zeros(0, bool)
+    for age, cents in hist:
+        if age * dt < min_gap_s or len(cents) == 0:
+            continue
+        d = np.linalg.norm(
+            cur_cents_w[:, None, :] - cents[None, :, :], axis=-1
+        ).min(axis=1)
+        lo = max(0.3, v_min * age * dt)
+        hi = v_max * age * dt + assoc_slack
+        votes += ((d > lo) & (d <= hi)).astype(np.int32)
+    return votes >= min_votes
+
+
 # -- inspection dumps (saveColorCloud analog, tgrs.cpp:214-243) -----------
 
 

@@ -149,9 +149,16 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
     # reads the tag-validated torus moment table, the insert writes ONLY
     # that table, and the FoV crop is replaced by torus-wrap forgetting
     mom_dense = steady and getattr(cfg.ikdtree, "mom_dense", False)
+    clip_hw = None  # per-axis insert window half-widths (mom_dense)
     if mom_dense:
-        assert sh.map_dense_log2 is not None, (
-            "mom_dense requires shapes.map_dense_log2")
+        if sh.map_dense_log2 is None:
+            # auto-size the torus from the detection geometry (see
+            # derive_map_dense_log2) — the aliasing preconditions below
+            # then hold by construction
+            from ..config import derive_map_dense_log2
+
+            sh.map_dense_log2 = derive_map_dense_log2(
+                mp.det_range, cfg.ikdtree.filter_size_map_min)
         # insert_dense_moments assumes <= 1 point per voxel per batch
         # (its delta-scatter corrupts a cell written twice in one batch);
         # that contract holds exactly when the scan downsample leaf
@@ -169,9 +176,13 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
         # within-batch spread is <= 2*det_range horizontally — a hard
         # geometric bound for a 360-deg scanner, asserted.  Vertically
         # the spread is bounded by the lidar's vertical FoV, which the
-        # config does not carry — warn below det_range (covers +-30 deg)
-        # instead of failing valid indoor configs.  Cross-SCAN aliasing
-        # is handled by the cell tags + torus-wrap forgetting, not here.
+        # config does not carry — a span below det_range (covers +-30
+        # deg at full range) is a HARD ERROR unless the config opts into
+        # map_dense_z_clip, which instead clips insert rows to a
+        # sensor-centred z window of the span (alias-free by
+        # construction; tall geometry beyond the window is simply not
+        # mapped).  Cross-SCAN aliasing is handled by the cell tags +
+        # torus-wrap forgetting, not here.
         for ax, lg in enumerate(sh.map_dense_log2):
             span = (1 << lg) * cfg.ikdtree.filter_size_map_min
             if ax < 2:
@@ -183,14 +194,29 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
                     "raise shapes.map_dense_log2 or lower "
                     "mapping.det_range")
             elif span < mp.det_range:
-                import warnings
-
-                warnings.warn(
-                    f"mom_dense torus z axis spans {span:.0f} m < "
-                    f"det_range = {mp.det_range:.0f} m: scans whose "
-                    "vertical point spread exceeds the span would alias "
-                    "distinct voxels in one batch (fine for indoor / "
-                    "narrow-FoV sensors)", stacklevel=2)
+                if not getattr(sh, "map_dense_z_clip", False):
+                    raise ValueError(
+                        f"mom_dense torus z axis spans {span:.0f} m < "
+                        f"det_range = {mp.det_range:.0f} m: a scan whose "
+                        "vertical spread exceeds the span would alias "
+                        "distinct voxels within one insert batch and "
+                        "corrupt the moment table.  Raise "
+                        "shapes.map_dense_log2[2] (or leave "
+                        "map_dense_log2=None to auto-size), or set "
+                        "shapes.map_dense_z_clip=True to clip inserts "
+                        "to a sensor-centred z window of the span "
+                        "(narrow-vertical-FoV sensors)")
+        # per-axis sensor-centred insert window, ALWAYS on for mom_dense
+        # (one voxel of slack keeps the within-batch spread strictly
+        # below the span): enforces the alias-freedom precondition even
+        # for beyond-det_range returns — the det_range-based asserts
+        # above bound the NORMAL scan extent, this window bounds every
+        # scan.  The analog of the reference keeping its local map to
+        # the FoV cube (laserMapping.cpp:1136-1200).
+        clip_hw = tuple(
+            0.5 * (1 << lg) * cfg.ikdtree.filter_size_map_min
+            - cfg.ikdtree.filter_size_map_min
+            for lg in sh.map_dense_log2)
 
     def step(
         ls: LIOState,
@@ -325,9 +351,17 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             dshape = tuple(1 << b for b in sh.map_dense_log2) + (2,)
             budget = max(getattr(sh, "insert_mom_budget", 0), 1024)
             budget = -(-budget // spmd_ndev) * spmd_ndev  # divisible by D
+            # per-axis sensor-centred insert window (see clip_hw above):
+            # pos_lid is replicated arithmetic, so the gate is uniform
+            # across an SPMD mesh.
+            ins_valid = ds_valid
+            for _ax in range(3):
+                ins_valid = ins_valid & (
+                    jnp.abs(pts_world[:, _ax] - pos_lid[_ax])
+                    <= clip_hw[_ax])
             new_dmom, _ = voxel_hash.insert_dense_moments(
                 ls.map.dmom, dshape, ls.map.voxel_size, pts_world,
-                ds_valid,
+                ins_valid,
                 mom_cap=getattr(cfg.ikdtree, "mom_cap", 24),
                 mom_budget=budget,
                 spmd_axis=spmd_axis, spmd_ndev=spmd_ndev,

@@ -50,17 +50,44 @@ class SLAMPipeline:
 
     def __init__(self, cfg: LIOConfig, max_keyframes: int = 2048,
                  loop_every: int = 5, sc_params: sc.SCParams | None = None,
-                 async_backend: bool = False):
+                 async_backend: bool = False,
+                 lio_kwargs: dict | None = None,
+                 backend_on_host: bool = False):
         """async_backend=True dispatches pose-graph optimization without
         blocking the front end (the reference's 1 Hz loop thread, P4);
-        corrections are applied on a later scan when the result is ready."""
+        corrections are applied on a later scan when the result is ready.
+
+        lio_kwargs forwards extra LIOPipeline options (window=W,
+        quantized=True, unroll=W — the bench.py throughput
+        configuration); outputs then lag by up to a window and the scan
+        FIFO below keeps keyframing paired with the right raw points.
+
+        backend_on_host=True pins the backend's device work (SC
+        descriptors, loop ICP, pose-graph GN) to the host CPU backend —
+        the reference's architecture exactly (its backend is a CPU
+        thread, gtsam/PCL: laserMapping.cpp:1021-1038, 2216), keeping
+        the accelerator queue free for the front-end stream.  Off =
+        everything runs on the default (TPU) backend."""
         self.cfg = cfg
         # pipelined LIO hides the per-scan device->host readback behind the
-        # next scan's compute; outputs then describe the PREVIOUS scan, so
-        # keyframing uses a one-scan history of the raw points (keyframe
-        # decisions are insensitive to one-scan latency)
-        self.lio = LIOPipeline(cfg, pipelined=True)
-        self._scan_hist = None
+        # next scan's compute; outputs then describe a PREVIOUS scan, so
+        # keyframing pairs each result with its raw points via a FIFO
+        # (depth 1 when pipelined, up to ~2 windows in window mode)
+        self.lio = LIOPipeline(cfg, pipelined=True, **(lio_kwargs or {}))
+        from collections import deque
+
+        self._scan_fifo = deque()
+        self._host_dev = None
+        if backend_on_host:
+            import jax
+
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                # cpu backend not initialised (JAX_PLATFORMS pinned to a
+                # single plugin) — fall back to the default device
+                cpus = []
+            self._host_dev = cpus[0] if cpus else None
         self.sc_params = sc_params or sc.SCParams()
         self.keyframes: list[Keyframe] = []
         self.loop_pairs: list[tuple[int, int, float]] = []  # (i, j, fitness)
@@ -84,7 +111,33 @@ class SLAMPipeline:
         if async_backend:
             from ..parallel.distributed import AsyncBackend
 
-            self._async = AsyncBackend()
+            self._async = (AsyncBackend(device=self._host_dev)
+                           if self._host_dev is not None else AsyncBackend())
+
+    def _backend_ctx(self):
+        """Device scope for backend compute (see backend_on_host)."""
+        import contextlib
+
+        if self._host_dev is None:
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.default_device(self._host_dev)
+
+    def flush(self):
+        """Drain the front end's buffered window/readbacks (end of
+        stream).  Keyframing of the trailing partial window is skipped —
+        the drained results land in lio.trajectory; loop/backend state
+        is already final.  Returns the last drained LIO result or None."""
+        out = self.lio.flush()
+        self._scan_fifo.clear()
+        if self._async is not None and self._async.busy:
+            res = self._async.wait()
+            if res is not None:
+                poses, n_snap = res
+                self._apply_correction(np.asarray(poses, np.float64),
+                                       n=n_snap)
+        return out
 
     # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
     def _is_keyframe(self, pose7: np.ndarray) -> bool:
@@ -167,16 +220,18 @@ class SLAMPipeline:
         if getattr(self.cfg, "dynamic_removal", False):
             pts, pt_t = self._remove_dynamic(pts, pt_t)
 
+        tracked = self.lio.inited  # this scan will yield a result later
         out = self.lio.process_scan(
             pts, pt_t, imu_acc, imu_gyr, imu_t, scan_beg_abs, scan_end_t
         )
-        hist, self._scan_hist = self._scan_hist, (pts, scan_beg_abs,
-                                                  scan_end_t)
-        if out is None or hist is None:
+        if tracked:
+            self._scan_fifo.append((pts, scan_beg_abs, scan_end_t))
+        if out is None or not self._scan_fifo:
             return None
-        # `out` corresponds to the PREVIOUS scan — pair it with that scan's
-        # points for keyframing
-        pts, scan_beg_abs, scan_end_t = hist
+        # `out` corresponds to the OLDEST unconsumed scan (lag 1 when
+        # pipelined, up to ~2 windows in window mode) — pair it with that
+        # scan's points for keyframing
+        pts, scan_beg_abs, scan_end_t = self._scan_fifo.popleft()
         if np.any(~np.isfinite(out["pos"])) or np.any(
             ~np.isfinite(out["quat"])
         ):
@@ -263,31 +318,67 @@ class SLAMPipeline:
         gap = max(1, int(getattr(self.cfg, "dyn_track_gap", 1)))
         traj = self.lio.trajectory
         rel = se3.identity(jnp.float32)
-        if len(traj) >= gap + 1:
-            # track_pd wants T_prev<-next = prev^-1 * next (its centers
-            # are in the CURRENT scan frame and get projected into the
-            # tracked grid's frame).  The current scan's pose is not in
-            # `trajectory` yet — extrapolate constant-velocity from the
-            # last completed step; the tracked grid's scan (`gap` scans
-            # before current) has pose trajectory[-gap].
+        cur_est = None
+        if len(traj) >= 1:
+            # The current scan's pose is not in `trajectory` yet —
+            # extrapolate constant-velocity from the last completed step
             p_last = jnp.asarray(traj[-1], jnp.float32)
             step = (se3.between(jnp.asarray(traj[-2], jnp.float32), p_last)
                     if len(traj) >= 2 else se3.identity(jnp.float32))
             cur_est = se3.compose(p_last, step)
+        if len(traj) >= gap + 1:
+            # track_pd wants T_prev<-next = prev^-1 * next (its centers
+            # are in the CURRENT scan frame and get projected into the
+            # tracked grid's frame); the tracked grid's scan (`gap`
+            # scans before current) has pose trajectory[-gap].
             p_prev = jnp.asarray(traj[-gap], jnp.float32)
             rel = se3.between(p_prev, cur_est).astype(jnp.float32)
-        hist = getattr(self, "_grid_hist", None)
-        if hist is None:
-            from collections import deque
+        mode = getattr(self.cfg, "dyn_track_mode", "overlap")
+        if mode == "centroid":
+            # K-frame centroid track accumulation (see
+            # LIOConfig.dyn_track_mode): world-frame PD cluster
+            # centroids vs the last K PD sets, displacement-band vote
+            ng = valid & ~gm
+            grid = dyn.encode_scan(p, ng, prm)
+            grid = dyn.cluster_grid(grid, prm)
+            pd = dyn.recognize_pd(grid, prm)
+            ids, cents, _cnts = dyn.pd_cluster_centroids(grid, pd, prm)
+            cur_np = (np.asarray(cur_est, np.float64) if cur_est is not None
+                      else np.array([1.0, 0, 0, 0, 0, 0, 0]))
+            R = np.asarray(so3.quat_to_matrix(jnp.asarray(cur_np[0:4])))
+            cents_w = (cents @ R.T + cur_np[4:7]).astype(np.float32)
+            hist = getattr(self, "_cent_hist", None)
+            if hist is None:
+                from collections import deque
 
-            self._grid_hist = hist = deque(maxlen=gap)
-        prev_grid = hist[0] if len(hist) == gap else None
-        static, grid = dyn.dynamic_removal_masks(
-            p, valid, gm, prev_grid, rel, prm
-        )
-        hist.append(grid)
-        self._prev_grid = grid
-        keep = np.asarray(static)
+                K = max(2, int(getattr(self.cfg, "dyn_track_k", 8)))
+                self._cent_hist = hist = deque(maxlen=K)
+            aged = [(len(hist) - i, h) for i, h in enumerate(hist)]
+            dt = 1.0 / max(1e-6, float(getattr(
+                self.cfg.preprocess, "scan_rate", 10.0)))
+            hd_cl = dyn.track_centroids_hd(
+                cents_w, aged, dt=dt,
+                v_min=float(getattr(self.cfg, "dyn_track_vmin", 0.7)))
+            hist.append(cents_w)
+            lab_pt = dyn.point_labels(grid)
+            if hd_cl.any():
+                dynmask = np.isin(lab_pt, np.asarray(ids)[hd_cl])
+            else:
+                dynmask = np.zeros(len(pts), bool)
+            keep = np.asarray(valid) & (np.asarray(gm) | ~dynmask)
+        else:
+            hist = getattr(self, "_grid_hist", None)
+            if hist is None:
+                from collections import deque
+
+                self._grid_hist = hist = deque(maxlen=gap)
+            prev_grid = hist[0] if len(hist) == gap else None
+            static, grid = dyn.dynamic_removal_masks(
+                p, valid, gm, prev_grid, rel, prm
+            )
+            hist.append(grid)
+            self._prev_grid = grid
+            keep = np.asarray(static)
         # per-scan removal decision, exposed for the PR/RR/F1 evaluation
         # loop (run.py dynamic_report.json; consumed-and-cleared per scan)
         self.last_dynamic_mask = ~keep
@@ -314,13 +405,14 @@ class SLAMPipeline:
     def _add_keyframe(self, pose7, pts, t_abs):
         k = len(self.keyframes)
         sub = pts[:: max(1, len(pts) // 4096)]
-        desc = np.asarray(
-            sc.make_descriptor(
-                jnp.asarray(sub, jnp.dtype(self.cfg.dtype)),
-                jnp.ones(len(sub), bool),
-                self.sc_params,
+        with self._backend_ctx():
+            desc = np.asarray(
+                sc.make_descriptor(
+                    jnp.asarray(sub, jnp.dtype(self.cfg.dtype)),
+                    jnp.ones(len(sub), bool),
+                    self.sc_params,
+                )
             )
-        )
         kf = Keyframe(idx=k, t=t_abs, pose=pose7.copy(),
                       odom_pose=pose7.copy(), cloud=sub.astype(np.float32),
                       desc=desc)
@@ -374,6 +466,10 @@ class SLAMPipeline:
 
     # -- loop closure (performLoopClosure, :890-1018) ----------------------
     def _try_loop_closure(self) -> bool:
+        with self._backend_ctx():
+            return self._try_loop_closure_impl()
+
+    def _try_loop_closure_impl(self) -> bool:
         cand = self._detect_candidate()
         if cand is None:
             return False
@@ -438,7 +534,8 @@ class SLAMPipeline:
 
     # -- optimize + correct (saveKeyFramesAndFactor/correctPoses) ----------
     def _optimize_and_correct(self):
-        self.graph = pg.optimize(self.graph, iters=6, cg_iters=50)
+        with self._backend_ctx():
+            self.graph = pg.optimize(self.graph, iters=6, cg_iters=50)
         self._apply_correction(
             np.asarray(self.graph.poses, np.float64),
             n=len(self.keyframes),

@@ -95,16 +95,24 @@ def cmd_mapping(args):
     cfg = load_yaml(args.config) if args.config else LIOConfig()
     cfg.loop.enable = bool(args.loop)
     cfg.dynamic_removal = bool(getattr(args, 'dynamic', False))
-    cfg.sensor_height = getattr(args, 'sensor_height', 0.4)
+    # --sensor-height defaults to None so the synthetic-outdoor truck-
+    # mount override below fires only when the user did NOT set the flag
+    # (an explicit --sensor-height 0.4 stays 0.4)
+    sh_arg = getattr(args, 'sensor_height', None)
+    cfg.sensor_height = 0.4 if sh_arg is None else float(sh_arg)
     cfg.ssc_sensor_height = getattr(args, 'ssc_sensor_height', None)
     if (args.dataset == "synthetic-outdoor" and cfg.dynamic_removal
-            and cfg.sensor_height == 0.4):
+            and sh_arg is None):
         # truck-mount geometry of the labelled-mover world: ground
         # segmentation needs the true 2.0 m mount, the SSC PD band
         # keeps the near-ground tuning (see _groups_from_dataset)
         cfg.sensor_height = 2.0
         cfg.ssc_sensor_height = cfg.ssc_sensor_height or 0.4
-        cfg.dyn_track_gap = 5  # 0.5 s tracking gap (see slam.py)
+        cfg.dyn_track_gap = 5  # 0.5 s tracking gap (overlap-mode fallback)
+        # K-frame centroid track accumulation: the 10 Hz moving-sensor
+        # operating point where single-gap occupancy overlap has no
+        # signal (LIOConfig.dyn_track_mode)
+        cfg.dyn_track_mode = "centroid"
     if getattr(args, "gps", False):
         cfg.gps.enable = True
     # async pose-graph optimization by default when loops are on — the
@@ -275,16 +283,24 @@ def cmd_mapping(args):
     if dyn_pred:
         # dynamic-removal quality report vs labelled ground truth (the
         # reference's include/analysis/analysis.py evaluation, run
-        # in-line): PR/RR/F1 over all scans past the first (frame 0 has
-        # no previous grid to track against)
+        # in-line): PR/RR/F1 over the scans that HAVE a tracked grid —
+        # the first `dyn_track_gap` frames predict all-static by
+        # construction and would deflate recall on short runs
         from .io.evaluate import pr_rr_f1
 
-        pr, rr, f1 = pr_rr_f1(np.concatenate(dyn_pred[1:] or dyn_pred),
-                              np.concatenate(dyn_gt[1:] or dyn_gt))
+        if getattr(cfg, "dyn_track_mode", "overlap") == "centroid":
+            gap = max(2, int(getattr(cfg, "dyn_track_k", 8)))
+        else:
+            gap = max(1, int(getattr(cfg, "dyn_track_gap", 1)))
+        scored_pred = dyn_pred[gap:] if len(dyn_pred) > gap else dyn_pred
+        scored_gt = dyn_gt[gap:] if len(dyn_gt) > gap else dyn_gt
+        pr, rr, f1 = pr_rr_f1(np.concatenate(scored_pred),
+                              np.concatenate(scored_gt))
         report = {"precision": round(float(pr), 4),
                   "recall": round(float(rr), 4),
                   "f1": round(float(f1), 4),
                   "n_scans": len(dyn_pred),
+                  "n_scans_scored": len(scored_pred),
                   "n_points": int(sum(len(p) for p in dyn_pred))}
         summary["dynamic_pr_rr_f1"] = [report["precision"],
                                        report["recall"], report["f1"]]
@@ -407,7 +423,10 @@ def main(argv=None):
                          "clouds (%%06d_color.pcd) and removed dynamic "
                          "points (%%06d_removed.pcd) to DIR — the "
                          "saveColorCloud inspection analog (tgrs.cpp)")
-    mp.add_argument("--sensor-height", type=float, default=0.4)
+    mp.add_argument("--sensor-height", type=float, default=None,
+                    help="ground-segmentation mount height (default 0.4;"
+                         " synthetic-outdoor --dynamic auto-selects its "
+                         "2.0 m truck mount unless this flag is given)")
     mp.add_argument("--ssc-sensor-height", type=float, default=None,
                     help="decouple the SSC PD-gate height from the "
                          "ground-segmentation mount height (tall mounts)")

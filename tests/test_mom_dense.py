@@ -163,6 +163,7 @@ def test_lio_mom_dense_tracks_trajectory():
     cfg.ikdtree.single_association = True
     cfg.mapping.det_range = 20.0  # tiny room world; 2*det_range must fit the torus x/y span
     cfg.shapes.map_dense_log2 = (8, 8, 5)
+    cfg.shapes.map_dense_z_clip = True  # 12.8 m z-span < det_range: opt in (room ~3 m tall; clip never fires)
     cfg.shapes.insert_mom_budget = 1024
     groups = make_lio_sequence(
         duration=4.0, scan_rate=10.0, imu_rate=100.0, n_points=4000, seed=3,
@@ -184,6 +185,91 @@ def test_lio_mom_dense_tracks_trajectory():
     assert errs[-1] < 0.15
 
 
+def _z_cfg(dense=(8, 8, 4), z_clip=False):
+    from tests.test_lio_pipeline import small_cfg
+
+    cfg = small_cfg()
+    cfg.ikdtree.plane_cache = True
+    cfg.ikdtree.plane_cache_warmup = 12
+    cfg.ikdtree.mom_dense = True
+    cfg.ikdtree.single_association = True
+    cfg.mapping.det_range = 20.0
+    cfg.shapes.map_dense_log2 = dense
+    cfg.shapes.map_dense_z_clip = z_clip
+    return cfg
+
+
+def test_short_z_span_is_hard_error():
+    """A mom_dense torus whose z span is below det_range would silently
+    alias distinct voxels of a tall scene within one insert batch — the
+    step factory must refuse it unless map_dense_z_clip opts in."""
+    from better_fastlio2_tpu.pipeline.lio import _make_step_core
+
+    with pytest.raises(ValueError, match="z axis"):
+        _make_step_core(_z_cfg(dense=(8, 8, 4), z_clip=False))
+    # the opt-in builds fine
+    _make_step_core(_z_cfg(dense=(8, 8, 4), z_clip=True))
+
+
+def test_map_dense_log2_autoderive():
+    """map_dense_log2=None auto-sizes the torus from det_range/voxel so
+    the aliasing preconditions hold by construction."""
+    from better_fastlio2_tpu.config import derive_map_dense_log2
+    from better_fastlio2_tpu.pipeline.lio import _make_step_core
+
+    cfg = _z_cfg(dense=None)
+    _make_step_core(cfg)
+    # det_range 20, voxel 0.4: xy >= 100 cells -> 2^7, z >= 50 -> 2^6
+    assert cfg.shapes.map_dense_log2 == (7, 7, 6)
+    assert derive_map_dense_log2(20.0, 0.4) == (7, 7, 6)
+
+
+@pytest.mark.slow
+def test_z_clip_tall_geometry_stays_consistent():
+    """Geometry taller than the torus z span, with the explicit
+    map_dense_z_clip override: the sensor-centred insert window keeps
+    the moment table consistent (no within-batch alias corruption: all
+    counts finite and non-negative) and tracking holds.  Without the
+    override this exact config is the hard error proven above."""
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+    from better_fastlio2_tpu.pipeline.lio import LIOPipeline
+
+    cfg = _z_cfg(dense=(8, 8, 4), z_clip=True)  # z span 6.4 m
+    cfg.shapes.insert_mom_budget = 1024
+    groups = make_lio_sequence(
+        duration=4.0, scan_rate=10.0, imu_rate=100.0, n_points=4000, seed=3,
+        noise=0.004, traj=Trajectory(t_still=1.0, speed=2.0),
+    )
+    rng = np.random.default_rng(7)
+    pipe = LIOPipeline(cfg)
+    errs = []
+    origin = np.array([0.0, 0.0, 1.5])
+    for g in groups:
+        # a tall column (0..30 m, far beyond the 6.4 m span) riding in
+        # every scan — without the clip its voxels alias within a batch
+        k = 160
+        col = np.stack([
+            np.full(k, 3.0) + 0.02 * rng.standard_normal(k),
+            0.02 * rng.standard_normal(k),
+            np.linspace(-1.0, 30.0, k),
+        ], axis=1).astype(np.float32)
+        pts = np.concatenate([g["pts"], col])
+        pt_t = np.concatenate([g["pt_t"], np.zeros(k, np.float32)])
+        out = pipe.process_scan(
+            pts, pt_t, g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"],
+        )
+        if out is not None:
+            errs.append(np.linalg.norm(out["pos"] - (g["gt_pos"] - origin)))
+    assert pipe.ls.map.dmom is not None
+    dm = np.asarray(pipe.ls.map.dmom)
+    counts = dm[:, 1]
+    assert np.all(np.isfinite(dm)), "corrupted moment rows"
+    assert counts.min() >= 0.0, "negative voxel count = alias corruption"
+    ate = np.sqrt(np.mean(np.square(errs)))
+    assert ate < 0.15, f"tall-geometry z-clip ATE {ate:.3f} m"
+
+
 @pytest.mark.slow
 def test_window_quantized_mom_dense_matches_single_scan():
     """The bench-path combination (W>1 window + quantized wire +
@@ -202,6 +288,7 @@ def test_window_quantized_mom_dense_matches_single_scan():
         c.ikdtree.early_converge = True
         c.mapping.det_range = 20.0
         c.shapes.map_dense_log2 = (8, 8, 5)
+        c.shapes.map_dense_z_clip = True
         c.shapes.insert_mom_budget = 1024
         return c
 

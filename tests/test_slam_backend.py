@@ -285,3 +285,60 @@ def test_async_correction_applies_at_snapshot_count(rng):
     # never the identity row of the unoptimized graph slot
     assert np.linalg.norm(pipe.keyframes[4].pose[4:7] - late_pose[4:7]) < 0.5
     assert abs(pipe.keyframes[4].pose[4] - 4.0) < 0.5
+
+
+def test_windowed_slam_pipeline_tracks_and_loops():
+    """The bench.py --slam configuration on CPU-small shapes: windowed
+    quantized LIO front end under SLAMPipeline (scan-FIFO pairing),
+    async backend on the host device, loop closure on a circular
+    trajectory.  Validates: FIFO keyframe pairing survives the window
+    lag, flush() drains cleanly, and the loop-corrected keyframe poses
+    beat the raw odometry poses vs ground truth."""
+    from better_fastlio2_tpu.io.synthetic import Trajectory, make_lio_sequence
+
+    cfg = cfg_small()
+    cfg.loop = LoopConfig(enable=True, search_radius=8.0,
+                          search_time_diff=6.0, search_num=3,
+                          fitness_score=0.3)
+    cfg.mapping.keyframe_adding_dist_threshold = 0.8
+    # circle radius speed/yaw_rate = 1.6/0.7 ~ 2.3 m, period ~9 s:
+    # 14 s = ~1.5 laps, second lap revisits 6+ s-old keyframes
+    groups = list(make_lio_sequence(
+        duration=14.0, scan_rate=10.0, imu_rate=100.0, n_points=3000,
+        seed=5, noise=0.004,
+        traj=Trajectory(t_still=0.8, speed=1.6, yaw_rate=0.7)))
+    pipe = SLAMPipeline(
+        cfg, max_keyframes=128, loop_every=2, async_backend=True,
+        backend_on_host=True,
+        lio_kwargs=dict(window=2, quantized=True))
+    outs = []
+    for g in groups:
+        out = pipe.process_scan(
+            g["pts"], g["pt_t"], g["imu_acc"], g["imu_gyr"], g["imu_t"],
+            g["scan_beg_abs"], g["scan_end_t"])
+        if out is not None:
+            outs.append(out)
+    pipe.flush()
+    assert len(pipe.keyframes) >= 8
+    assert len(outs) > 50
+    # keyframe poses must be finite and near ground truth; if a loop
+    # fired, corrected keyframes must not be worse than odometry ones
+    t2gt = {round(g["scan_beg_abs"] + g["scan_end_t"], 6): g["gt_pos"]
+            for g in groups}
+    gt, odo, corr = [], [], []
+    for kf in pipe.keyframes:
+        g = t2gt.get(round(kf.t, 6))
+        if g is None:
+            continue
+        gt.append(g)
+        odo.append(kf.odom_pose[4:7])
+        corr.append(kf.pose[4:7])
+    gt = np.asarray(gt) - gt[0]
+    odo = np.asarray(odo) - odo[0]
+    corr = np.asarray(corr) - corr[0]
+    ate_odo = float(np.sqrt(np.mean(np.sum((odo - gt) ** 2, 1))))
+    ate_corr = float(np.sqrt(np.mean(np.sum((corr - gt) ** 2, 1))))
+    assert np.isfinite(ate_corr)
+    assert ate_corr < max(0.3, ate_odo * 1.05), (ate_corr, ate_odo)
+    if pipe.loop_pairs:
+        assert ate_corr <= ate_odo * 1.01

@@ -185,7 +185,7 @@ def main_spmd(args, mesh):
     cfg.shapes = ShapesConfig(
         n_raw=N_RAW, n_ds=N_DS, n_imu=32, map_capacity_log2=13,
         map_bucket=4, map_max_probe=8, knn_chunk=N_DS,
-        map_dense_log2=(7, 7, 5), insert_mom_budget=1024)
+        map_dense_log2=(7, 7, 6), insert_mom_budget=1024)
     cfg.mapping = MappingConfig(det_range=20.0, cube_len=200.0,
                                 surf_leaf_size=0.4, extrinsic_est_en=False)
     cfg.ikdtree = IkdtreeConfig(
@@ -198,7 +198,13 @@ def main_spmd(args, mesh):
         duration=2.4, scan_rate=10.0, imu_rate=100.0, n_points=N_RAW,
         seed=11, noise=0.002, traj=Trajectory(t_still=0.5, speed=1.5),
     ))
-    n_steady = args.n_scans - args.n_scans % W
+    # at least one full window steady; a 0 here would make warm=groups[:-0]
+    # empty and fail the dmom warmup assert with a confusing message
+    n_steady = max(W, args.n_scans - args.n_scans % W)
+    if n_steady >= len(groups):
+        raise SystemExit(
+            f"--n-scans {args.n_scans} leaves no warmup scans "
+            f"(sequence has {len(groups)} groups, window {W})")
     warm, steady = groups[:-n_steady], groups[-n_steady:]
 
     # identical local warmup on every process -> replicated LIOState
