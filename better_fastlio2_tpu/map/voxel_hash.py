@@ -68,6 +68,9 @@ __all__ = [
 ]
 
 DMOM_CH = 12  # dense-moment row channels (see VoxelHashMap.dmom)
+# trace-time probe switch: tools/probe_insert_dedupe.py A/Bs the cost of
+# the replace-dedupe.  Production paths must never flip this.
+_DEDUPE_ENABLED = True
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -766,6 +769,11 @@ def insert_dense_moments(
     delta = delta * one[:, None]
     dst = jnp.where(act, lin[sm], G)
     n_new = jnp.sum((act & ~own_s).astype(jnp.int32))
+
+    if not _DEDUPE_ENABLED and spmd_axis is None:
+        # probe hook (tools/probe_insert_dedupe.py): A/B the dedupe cost
+        dmom = dmom.at[dst].add(delta, mode="drop")
+        return dmom, n_new
 
     def _kill_replace_dups(dst_rows, own_rows, delta_rows):
         # duplicate rows targeting ONE cell: accumulate-rows are
