@@ -295,20 +295,29 @@ def main():
     if "--window" in sys.argv:
         window = int(sys.argv[sys.argv.index("--window") + 1])
     if slam:
-        from better_fastlio2_tpu.io.synthetic import (Trajectory,
+        from better_fastlio2_tpu.io.synthetic import (OutdoorWorld,
+                                                      Trajectory,
                                                       make_lio_sequence)
 
         # loop-closing circle (radius speed/yaw_rate = 7.5 m, period
         # ~15.7 s): 240 scans = ~1.5 laps, so the second lap revisits
-        # keyframes old enough to pass the loop time gate
+        # keyframes old enough to pass the loop time gate.  The OUTDOOR
+        # world: the box room is pathologically self-similar (Scan
+        # Context matches everywhere and point-to-plane ICP slides
+        # freely along walls at low fitness), so room-world loop
+        # verification accepts meters-wrong factors — measured, see
+        # tpu_queue.log round5 slam_diag.  Verification gates are
+        # tightened accordingly (radius 5 m, fitness 0.2).
         cfg.loop.enable = True
-        cfg.loop.search_radius = 10.0
+        cfg.loop.search_radius = 5.0
         cfg.loop.search_time_diff = 10.0
+        cfg.loop.fitness_score = 0.2
         cfg.mapping.keyframe_adding_dist_threshold = 1.0
         groups = list(make_lio_sequence(
             duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
             n_points=30_000, seed=7, noise=0.004,
-            traj=Trajectory(t_still=0.7, speed=3.0, yaw_rate=0.4)))
+            traj=Trajectory(t_still=0.7, speed=3.0, yaw_rate=0.4),
+            world=OutdoorWorld(seed=7)))
     else:
         groups = make_bench_sequence(workload, n_scans)
 

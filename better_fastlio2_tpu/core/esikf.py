@@ -229,6 +229,20 @@ def _dx_transport(dx: jax.Array, x: State, x_prop: State) -> tuple[jax.Array, ja
     return T, T @ dx
 
 
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Tiny-matrix product as a broadcast-multiply-reduce instead of a
+    `dot`: XLA lowers sub-MXU dots to separate kernels that serialize
+    the gain glue into a ~40-kernel launch chain (~3 us each on v5e,
+    tools/probe_glue.py); the broadcast form stays inside elementwise
+    fusions.  Only for dims ~O(23) — never use on point-count axes."""
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(axis=-2)
+
+
+def _mv(a: jax.Array, v: jax.Array) -> jax.Array:
+    """Tiny matrix-vector product, fusion-friendly (see _mm)."""
+    return (a * v[..., None, :]).sum(axis=-1)
+
+
 def _inv3(M: jax.Array) -> jax.Array:
     """Closed-form 3x3 inverse (adjugate/det) — latency-free vs a
     factorization on TPU."""
@@ -267,12 +281,12 @@ def _inv6(M: jax.Array) -> jax.Array:
     A, B = M[0:3, 0:3], M[0:3, 3:6]
     C, D = M[3:6, 0:3], M[3:6, 3:6]
     Ai = _inv3(A)
-    AiB = Ai @ B
-    CAi = C @ Ai
-    Si = _inv3(D - C @ AiB)
-    TR = -AiB @ Si
-    BL = -Si @ CAi
-    TL = Ai - AiB @ BL
+    AiB = _mm(Ai, B)
+    CAi = _mm(C, Ai)
+    Si = _inv3(D - _mm(C, AiB))
+    TR = -_mm(AiB, Si)
+    BL = -_mm(Si, CAi)
+    TL = Ai - _mm(AiB, BL)
     return jnp.concatenate(
         [jnp.concatenate([TL, TR], axis=1),
          jnp.concatenate([BL, Si], axis=1)], axis=0)
@@ -408,25 +422,30 @@ def update_iterated(
             # the S2 2×2), so the two 23×23 transport matmuls collapse
             # to six small block products — the per-iteration small-op
             # latency chain is the measured cost here, not FLOPs.
+            # every product below is a tiny-matrix _mm/_mv broadcast
+            # reduce, NOT a dot — sub-MXU dots each lower to their own
+            # kernel and serialize the glue into a ~40-launch chain
+            # (~0.12 ms/pass measured, tools/probe_glue.py); the
+            # broadcast forms stay inside XLA's elementwise fusions
             A3 = so3.A_matrix(dx[3:6]).T
             A6 = so3.A_matrix(dx[6:9]).T
             Nx = s2m.s2_nx_yy(x.grav)
             Mx = s2m.s2_mx(x_prop.grav, dx[21:23])
-            S2b = Nx @ Mx
-            dx_new = dx.at[3:6].set(A3 @ dx[3:6]) \
-                       .at[6:9].set(A6 @ dx[6:9]) \
-                       .at[21:23].set(S2b @ dx[21:23])
+            S2b = _mm(Nx, Mx)
+            dx_new = dx.at[3:6].set(_mv(A3, dx[3:6])) \
+                       .at[6:9].set(_mv(A6, dx[6:9])) \
+                       .at[21:23].set(_mv(S2b, dx[21:23]))
             # C = P_prop @ (T[:K,:])ᵀ — right-apply the K leading rows of
             # T (identity rows 0:3, A3 block at 3:6), then left-apply T's
             # row blocks
             C = jnp.concatenate(
-                [P_prop[:, 0:3], P_prop[:, 3:6] @ A3.T], axis=1)
-            C = C.at[3:6].set(A3 @ C[3:6]) \
-                 .at[6:9].set(A6 @ C[6:9]) \
-                 .at[21:23].set(S2b @ C[21:23])
+                [P_prop[:, 0:3], _mm(P_prop[:, 3:6], A3.T)], axis=1)
+            C = C.at[3:6].set(_mm(A3, C[3:6])) \
+                 .at[6:9].set(_mm(A6, C[6:9])) \
+                 .at[21:23].set(_mm(S2b, C[21:23]))
             P6 = C / R
             eyeK = jnp.eye(K, dtype=dtype)
-            M6 = eyeK + HTH @ P6[:K]
+            M6 = eyeK + _mm(HTH, P6[:K])
             # conditioning guard (the analog of the non-fused path's
             # 1e-9*R prior jitter): relative diagonal damping at ~1e-6 of
             # the matrix scale — far below f32 round-off in the solve,
@@ -435,7 +454,7 @@ def update_iterated(
             M6 = M6 + (1e-6 / K) * jnp.sum(jnp.abs(jnp.diag(M6))) * eyeK
             # X = solve(M6^T, P6^T)^T == P6 @ M6^-1; the closed-form
             # block inverse avoids the serial pivoted-LU lowering
-            P_inv12 = P6 @ _inv6(M6)
+            P_inv12 = _mm(P6, _inv6(M6))
         else:
             T, dx_new = _dx_transport(dx, x, x_prop)
             P = T @ P_prop @ T.T
@@ -455,8 +474,8 @@ def update_iterated(
             )  # (23, K) = A^-1[:, :K]
         # dx_ = K_h + (K_x - I) dx_new without materialising the 23x23
         # K_x inside the loop (rebuilt once after the loop for Joseph)
-        K_h = P_inv12 @ HTh
-        dx_ = K_h + P_inv12 @ (HTH @ dx_new[:K]) - dx_new
+        K_h = _mv(P_inv12, HTh)
+        dx_ = K_h + _mv(P_inv12, _mv(HTH, dx_new[:K])) - dx_new
 
         x_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(valid, a, b), boxplus(x, dx_), x
@@ -523,9 +542,9 @@ def update_iterated(
     if fused:
         # rebuild P_last = T P_prop T^T once from the carried blocks
         def rows_T(M, A3, A6, S2b):
-            return (M.at[3:6].set(A3 @ M[3:6])
-                     .at[6:9].set(A6 @ M[6:9])
-                     .at[21:23].set(S2b @ M[21:23]))
+            return (M.at[3:6].set(_mm(A3, M[3:6]))
+                     .at[6:9].set(_mm(A6, M[6:9]))
+                     .at[21:23].set(_mm(S2b, M[21:23])))
 
         Pl = rows_T(P_prop, c["A3"], c["A6"], c["S2b"])
         P_last = rows_T(Pl.T, c["A3"], c["A6"], c["S2b"]).T
@@ -533,13 +552,13 @@ def update_iterated(
     else:
         P_last = c["P"]
     K_x_last = jnp.zeros((ERR_DIM, ERR_DIM), dtype).at[:, :n_cols].set(
-        c["P_inv12"] @ c["HTH"]
+        _mm(c["P_inv12"], c["HTH"])
     )
     T_fin, _ = _dx_transport(c["dx_"], x_fin, x_prop)
     IKH = jnp.eye(ERR_DIM, dtype=dtype) - K_x_last
-    KRK = R * (c["P_inv12"] @ c["HTH"] @ c["P_inv12"].T)
-    P_joseph = IKH @ P_last @ IKH.T + KRK
-    P_post = T_fin @ P_joseph @ T_fin.T
+    KRK = R * _mm(_mm(c["P_inv12"], c["HTH"]), c["P_inv12"].T)
+    P_joseph = _mm(_mm(IKH, P_last), IKH.T) + KRK
+    P_post = _mm(_mm(T_fin, P_joseph), T_fin.T)
     P_post = 0.5 * (P_post + P_post.T)
 
     info = {"iters": c["i"], "t": c["t"], "n_eff": c["n_eff"]}

@@ -633,15 +633,19 @@ class LIOPipeline:
         if mesh is not None:
             assert self.window > 1 and not quantized, (
                 "mesh mode: use window>1 and the unquantized wire")
-        self.quantized = bool(quantized) and self.window > 1
+        self.quantized = bool(quantized)
         if self.quantized:
             # the uint8 time-pair wire format packs times two-per-uint16:
             # fail loudly at construction, not at device-side unpack
             assert cfg.shapes.n_raw % 2 == 0, (
                 "quantized window mode requires an even shapes.n_raw "
                 f"(got {cfg.shapes.n_raw})")
+        # quantized at window=1 runs the window machinery with W=1: the
+        # compact 2-transfer wire + pipelined readback at per-scan
+        # latency — the ONLINE operating point (tools/bench_latency.py)
+        self._use_window = self.window > 1 or self.quantized
         self.unroll = max(1, int(unroll))
-        self._step = make_step_fn(cfg) if self.window == 1 else None
+        self._step = make_step_fn(cfg) if not self._use_window else None
         if mesh is not None:
             self._wstep = self._make_spmd_wstep(None)
         else:
@@ -649,7 +653,7 @@ class LIOPipeline:
                 make_window_step_fn(cfg, self.window,
                                     quantized=self.quantized,
                                     unroll=self.unroll)
-                if self.window > 1 else None
+                if self._use_window else None
             )
         # plane-cache warmup: run the 5-NN association for the first
         # `plane_cache_warmup` scans while the moment cache densifies
@@ -660,7 +664,7 @@ class LIOPipeline:
             else 0
         )
         if self._warmup_scans > 0:
-            if self.window == 1:
+            if not self._use_window:
                 self._step_warm = make_step_fn(cfg, plane_cache=False)
             elif mesh is not None:
                 self._wstep_warm = self._make_spmd_wstep(False)
@@ -896,7 +900,7 @@ class LIOPipeline:
         )
         self.last_scan_end_abs = scan_beg_abs + scan_end_t
 
-        if self.window > 1:
+        if self._use_window:
             if self.quantized:
                 self._wbuf.append(self._pack_quant(
                     P, T, V, A, G, Tt, Mk, last_end_rel, scan_end_t))
@@ -1078,13 +1082,29 @@ class LIOPipeline:
             for i in range(n_valid):
                 self._results.append(self._record(v[i]))
 
+    def poll(self) -> int:
+        """Harvest every pending pipelined window readback NOW (blocks
+        until the device finishes them) without feeding a scan — the
+        online low-latency path: after dispatching scan k, call poll()
+        during the idle gap before scan k+1 arrives and k's pose is out
+        ~(device step + transport) after arrival instead of one full
+        scan period later.  Window mode only; returns the number of
+        results made available (popped via the next process_scan, or
+        directly from `_results`/`trajectory`)."""
+        if not self._use_window or not self._pending_ws:
+            return 0
+        p, self._pending_ws = self._pending_ws, []
+        n0 = len(self._results)
+        self._consume_pending(p)
+        return len(self._results) - n0
+
     def flush(self):
         """Drain buffered scans and pipelined readbacks (call at end).
 
         Returns the final scan's result dict (or None if nothing pending);
         all drained results are appended to `trajectory` in order.
         """
-        if self.window > 1:
+        if self._use_window:
             if self._wbuf:
                 self._dispatch_window()
             if self._pending_ws:

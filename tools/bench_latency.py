@@ -65,7 +65,7 @@ def main():
         shipped a stall-poisoned W=4 = 1.5 scans/s row from a single
         overall mean)."""
         pipe = LIOPipeline(build_cfg(), pipelined=True, window=W,
-                           quantized=(W > 1), unroll=W)
+                           quantized=True, unroll=W)
         warm = 5 * max(W, 4)
         marks = []
         for i, g in enumerate(groups):
@@ -101,7 +101,7 @@ def main():
         # the first 64 scans run unthrottled so both jit compiles land
         # before the clocked phase; the 10 Hz schedule starts after
         pipe = LIOPipeline(build_cfg(), pipelined=True, window=W,
-                           quantized=(W > 1), unroll=W)
+                           quantized=True, unroll=W)
         t_in: list[float] = []
         t_out: list[float] = []
         clock_start = 64
@@ -119,8 +119,13 @@ def main():
             out = pipe.process_scan(g["pts"], g["pt_t"], g["imu_acc"],
                                     g["imu_gyr"], g["imu_t"],
                                     g["scan_beg_abs"], g["scan_end_t"])
+            # low-latency harvest: block on the just-dispatched window's
+            # readback NOW, inside this arrival interval, instead of
+            # letting the result surface at the NEXT process_scan call
+            # (which adds a full scan period to the measured latency)
+            pipe.poll()
             tnow = time.perf_counter()
-            # a call may pop 0 or 1 results; window flushes pop in order
+            # a call may pop several results; window flushes pop in order
             while out is not None and n_returned < len(t_in):
                 t_out.append(tnow)
                 n_returned += 1
