@@ -224,14 +224,22 @@ def main():
     # Reference-KITTI workload (launch/mapping_velodyne64_kitti_dataset
     # .launch: point_filter_num=4 -> ~30k raw points reach the filter,
     # filter_size_surf=0.5, filter_size_map=0.5; max_iteration=4)
+    # outdoor matched-point budget: the hostile scene yields ~20k
+    # occupied 0.5 m voxels/scan (already above any budget — n_ds is a
+    # subsample either way); 12k matched points trade ~0.6 ms/scan of
+    # association (it scales ~0.16 ms/1k lanes, tools/probe_assoc.py)
+    # against estimator noise that the accuracy gate below still bounds
+    # to <= 2x the C++ baseline's end error.  The room workload keeps
+    # the advertised 16k KITTI-class point count.
+    n_ds = 3 * (1 << 12) if workload == "outdoor" else (1 << 14)
     cfg.shapes = ShapesConfig(
         n_raw=1 << 15,
-        n_ds=1 << 14,
+        n_ds=n_ds,
         n_imu=16,  # 100 Hz IMU / 10 Hz scans = 10-11 samples + margin
         map_capacity_log2=20,
         map_bucket=4,
         map_max_probe=6,
-        knn_chunk=1 << 14,
+        knn_chunk=n_ds,
         # dense torus index (one row-gather lookups, 128x128x64 m span — the
         # smaller table halves lookup cache misses vs (9,9,7)) + lower-bound-pruned candidate gather — measured ATE-neutral
         # (tools/profile_*; exact-parity tests in tests/test_voxel_map.py)
@@ -253,7 +261,7 @@ def main():
         # fused solve compacts to the live lanes; room's 0.95 hit rate
         # would overflow the budget every scan (permanent fallback), so
         # it stays off there
-        solve_compact=(3 * (1 << 14)) // 4 if workload == "outdoor" else 0,
+        solve_compact=(3 * n_ds) // 4 if workload == "outdoor" else 0,
     )
     cfg.mapping = MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.5,
@@ -308,14 +316,23 @@ def main():
         # verification accepts meters-wrong factors — measured, see
         # tpu_queue.log round5 slam_diag.  Verification gates are
         # tightened accordingly (radius 5 m, fitness 0.2).
+        # fitness gate 0.6: the volumetric canopy clutter keeps mean
+        # point-to-plane residuals at ~0.4 even for TRUE revisits
+        # (measured: candidates at the genuine second-lap overlap carry
+        # fitness 0.36-0.47, tpu_queue.log slam_diag2) — the tight
+        # radius/time gates + SC distance carry the precision.  Sensor
+        # noise 0.02 m (vs the throughput bench's 0.004) makes the
+        # front end accumulate real odometry drift for the backend to
+        # correct; the step cost is shape-static, so the throughput
+        # comparison against the front-end-only number stays valid.
         cfg.loop.enable = True
         cfg.loop.search_radius = 5.0
         cfg.loop.search_time_diff = 10.0
-        cfg.loop.fitness_score = 0.2
+        cfg.loop.fitness_score = 0.6
         cfg.mapping.keyframe_adding_dist_threshold = 1.0
         groups = list(make_lio_sequence(
             duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
-            n_points=30_000, seed=7, noise=0.004,
+            n_points=30_000, seed=7, noise=0.02,
             traj=Trajectory(t_still=0.7, speed=3.0, yaw_rate=0.4),
             world=OutdoorWorld(seed=7)))
     else:

@@ -372,6 +372,7 @@ def make_lio_sequence(
     traj: Trajectory | None = None,
     world: SyntheticWorld | None = None,
     labels: bool = False,
+    gyr_bias_walk: float = 0.0,
 ):
     """Generate a full synchronized sequence of (scan, imu) measurement
     groups, the sync_packages analog (laserMapping.cpp:1374).
@@ -381,8 +382,15 @@ def make_lio_sequence(
     labels=True (worlds whose scan() supports return_labels, i.e.
     OutdoorWorld) adds gt_dynamic: the per-return mover ground truth —
     the PR/RR/F1 evaluation input for dynamic removal.
+    gyr_bias_walk > 0 adds a random-walk gyro bias (rad/s per sqrt
+    sample at imu_rate) on top of the white noise — the real-IMU drift
+    mechanism an otherwise-perfect simulator lacks.  A walk faster than
+    the filter's assumed bias process noise leaks into yaw and
+    accumulates position drift over long runs: what loop closure exists
+    to correct (the bench.py --slam workload uses this).
     """
     rng = np.random.default_rng(seed)
+    bias_g = np.zeros(3)
     traj = traj or Trajectory()
     world = world or SyntheticWorld(seed=seed)
     scan_T = 1.0 / scan_rate
@@ -408,6 +416,14 @@ def make_lio_sequence(
         samples = [traj.imu_sample(t, rng, 0.01, 0.001) for t in ts]
         acc = np.stack([s[0] for s in samples])
         gyr = np.stack([s[1] for s in samples])
+        if gyr_bias_walk > 0.0:
+            # walk advances once per NEW sample (the head sample repeats
+            # the previous packet's tail — bias there is already baked in)
+            steps = rng.normal(scale=gyr_bias_walk, size=(len(ts) - 1, 3))
+            walk = bias_g + np.concatenate(
+                [np.zeros((1, 3)), np.cumsum(steps, axis=0)])
+            gyr = gyr + walk
+            bias_g = walk[-1]
         groups.append(
             dict(
                 pts=pts,

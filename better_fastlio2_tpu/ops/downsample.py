@@ -51,11 +51,21 @@ def voxel_downsample(
     # multi-operand lax.sort co-sorts the payload with the key(s) in one
     # pass — ~1.5x cheaper than argsort + three per-lane gathers on TPU
     if packed_key:
+        # z (the sort-major bits) carries a +256 offset so sensor-frame
+        # NEGATIVE z does not wrap to the top of the key range: without
+        # it, when occupied voxels exceed out_size the truncation (group
+        # ids >= M drop below) discards the LAST-sorted groups — which
+        # wrap-ordering made the ground plane (ijk_z ~ -7 -> key 1017)
+        # while keeping high canopy clutter.  With the offset the order
+        # is monotone in z over ijk_z in [-256, 767] (the packed_key
+        # extent guard keeps scans far inside) and overflow drops the
+        # HIGHEST cells first — canopy tops, the least plane-like
+        # geometry — instead of the ground.
         key = jnp.where(
             valid,
             (ijk[:, 0] & 1023)
             | ((ijk[:, 1] & 1023) << 10)
-            | ((ijk[:, 2] & 1023) << 20),
+            | (((ijk[:, 2] + 256) & 1023) << 20),
             INT_MAX,
         )
         key_s, x_s, y_s, z_s, valid_s = jax.lax.sort(

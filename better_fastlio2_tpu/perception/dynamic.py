@@ -278,84 +278,109 @@ def dynamic_removal_masks(
     return static, grid
 
 
-# -- K-frame centroid tracking (the dyn_track_mode="centroid" upgrade) ----
+# -- K-frame world-occupancy appearance test (dyn_track_mode="appearance") -
 #
 # The reference's trackPD (tgrs.cpp:141-212) tests 27-neighbourhood
-# occupancy overlap against ONE previous frame — at 10 Hz a 1-2 m/s
-# mover displaces 0.1-0.2 m/frame, inside both the overlap slack and the
-# object's own footprint (a 4 m car moving lengthwise still overlaps
-# ~85% of itself), so recall collapses.  Centroids don't have that
-# problem: an extended object's centroid moves with the object
-# regardless of its size.  Track PD cluster centroids in the WORLD
-# frame over the last K frames and demote to HD only on a consistent
-# multi-frame displacement vote.
+# occupancy overlap against ONE previous frame, in the SENSOR frame —
+# at 10 Hz a 1-2 m/s mover displaces 0.1-0.2 m/frame, inside both the
+# overlap slack and the object's own footprint (a 4 m car moving
+# lengthwise still overlaps ~85% of itself), so recall collapses.  The
+# appearance test inverts and extends it: accumulate the WORLD-frame
+# fine-voxel occupancy of the last K scans (via the odometry poses) and
+# ask, per cluster, what fraction of its points' world voxels were
+# occupied ~2 s ago — a mover's current location was largely FREE SPACE
+# then, while static clutter was seen.  Two precision guards, both
+# measured necessary on the labelled synthetic-outdoor world: a range
+# gate (only score clusters that were inside the OLD sensor's
+# well-sampled radius — newly-entered terrain at the range frontier is
+# "fresh" without being dynamic), and a two-tier decision (a strongly
+# fresh cluster is removed whole; a moderately fresh one sheds only its
+# individually-fresh points).  Tuned against ground truth offline:
+# P 0.90 / R 0.53 / F1 0.67 at 10 Hz on the moving-sensor run (vs 0.3
+# for single-gap overlap — ROUND5.md).
 
-_vc_cache: dict = {}
+_NB27 = None
 
 
-def _voxel_centers_np(prm: SSCParams):
+def _nb27_offsets():
+    """27-neighbourhood key deltas under the packed-key encoding."""
+    global _NB27
+    if _NB27 is None:
+        import numpy as np
+
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    out.append((np.int64(dx) << 42)
+                               ^ ((np.int64(dy) & 0x1FFFFF) << 21)
+                               ^ (np.int64(dz) & 0x1FFFFF))
+        _NB27 = np.asarray(out, np.int64)
+    return _NB27
+
+
+def world_voxel_keys(pts_w, voxel: float):
+    """Packed int64 voxel key per world point (host-side numpy)."""
     import numpy as np
 
-    key = tuple(prm)
-    if key not in _vc_cache:
-        _vc_cache[key] = np.asarray(_voxel_centers(prm)).reshape(-1, 3)
-    return _vc_cache[key]
+    ijk = np.floor(np.asarray(pts_w) / voxel).astype(np.int64)
+    return ((ijk[:, 0] << 42)
+            ^ ((ijk[:, 1] & 0x1FFFFF) << 21)
+            ^ (ijk[:, 2] & 0x1FFFFF))
 
 
-def pd_cluster_centroids(grid: SSCGrid, pd_mask, prm: SSCParams):
-    """Host-side per-PD-cluster stats: (labels (M,), centroids (M,3)
-    scan frame, voxel counts (M,)).  Centroid = mean of the cluster's
-    occupied curved-voxel centers (cheap, point-count independent)."""
-    import numpy as np
+def appearance_dynamic_mask(keys, scored, band, lab_pt, old_sorted,
+                            thr_strong: float = 0.55,
+                            thr_weak: float = 0.9,
+                            min_cnt: int = 4,
+                            min_scored_frac: float = 0.6):
+    """Per-point dynamic mask from the cluster appearance ratios.
 
-    lab = np.asarray(grid.labels).reshape(-1)
-    pd = np.asarray(pd_mask).reshape(-1) & (lab >= 0)
-    if not pd.any():
-        z = np.zeros(0)
-        return z.astype(np.int64), np.zeros((0, 3), np.float32), z.astype(np.int64)
-    labs = lab[pd]
-    cent = _voxel_centers_np(prm)[pd]
-    uniq, inv, cnt = np.unique(labs, return_inverse=True,
-                               return_counts=True)
-    sums = np.zeros((len(uniq), 3))
-    np.add.at(sums, inv, cent)
-    return uniq, (sums / cnt[:, None]).astype(np.float32), cnt
+    keys: (N,) world voxel keys; scored: (N,) bool — points eligible for
+    scoring (in the curved-voxel band, clustered, inside both range
+    gates); band: (N,) bool — the removal scope (a strong cluster is
+    removed across the whole band, including its out-of-gate tail);
+    lab_pt: (N,) cluster label per point (-1 unclustered);
+    old_sorted: SORTED unique key array of the old frames' union.
 
-
-def track_centroids_hd(cur_cents_w, hist, dt: float, v_min: float = 0.7,
-                       v_max: float = 4.5, min_gap_s: float = 0.4,
-                       assoc_slack: float = 0.6, min_votes: int = 2):
-    """Per-current-cluster HD bool from K-frame centroid accumulation.
-
-    cur_cents_w: (M,3) world-frame centroids of the current PD clusters.
-    hist: iterable of (age_frames, cents_world) — previous frames' PD
-    centroid sets, any order.  Only gaps with age*dt >= min_gap_s carry
-    displacement signal (below that, centroid sampling noise ~0.2 m
-    drowns a 1 m/s mover).  Against each such frame the nearest old
-    centroid is the association; a displacement inside the plausible
-    mover band (v_min*age*dt, v_max*age*dt + assoc_slack] votes HD —
-    below it the cluster sat still, beyond it nothing can be said (new
-    cluster / occlusion: no vote, conservative).  HD needs >= min_votes
-    votes, so a single spurious miss (cluster split, occlusion) cannot
-    demote a static cluster — protecting precision exactly like the
-    reference's conservative hd_ratio gate intends.
+    occupancy = any of the point's 27-neighbourhood keys present in the
+    old union.  Per cluster (over its scored points, required to be >=
+    min_scored_frac of the whole cluster and >= min_cnt):
+      frac < thr_strong  -> remove the whole cluster
+      frac < thr_weak    -> remove only its occupancy-negative points
     """
     import numpy as np
 
-    M = len(cur_cents_w)
-    votes = np.zeros(M, np.int32)
-    if M == 0:
-        return np.zeros(0, bool)
-    for age, cents in hist:
-        if age * dt < min_gap_s or len(cents) == 0:
-            continue
-        d = np.linalg.norm(
-            cur_cents_w[:, None, :] - cents[None, :, :], axis=-1
-        ).min(axis=1)
-        lo = max(0.3, v_min * age * dt)
-        hi = v_max * age * dt + assoc_slack
-        votes += ((d > lo) & (d <= hi)).astype(np.int32)
-    return votes >= min_votes
+    N = len(keys)
+    dyn = np.zeros(N, bool)
+    bidx = np.where(scored)[0]
+    if len(bidx) == 0 or len(old_sorted) == 0:
+        return dyn
+    q = keys[bidx][:, None] + _nb27_offsets()[None, :]
+    pos = np.searchsorted(old_sorted, q)
+    hit = old_sorted[np.minimum(pos, len(old_sorted) - 1)] == q
+    occ = hit.any(axis=1)
+
+    labs = lab_pt[bidx]
+    uniq, inv = np.unique(labs, return_inverse=True)
+    n_scored = np.bincount(inv).astype(np.float64)
+    n_occ = np.zeros(len(uniq))
+    np.add.at(n_occ, inv, occ)
+    # full cluster sizes (scored or not) for the coverage gate
+    fu, fc = np.unique(lab_pt[lab_pt >= 0], return_counts=True)
+    n_tot = fc[np.searchsorted(fu, uniq)]
+    frac = n_occ / n_scored
+    gate = (n_scored >= min_cnt) & (n_scored >= min_scored_frac * n_tot)
+    strong = (frac < thr_strong) & gate
+    weak = (frac < thr_weak) & gate & ~strong
+    if strong.any():
+        dyn |= np.isin(lab_pt, uniq[strong]) & band
+    if weak.any():
+        inweak = np.isin(lab_pt, uniq[weak])
+        fresh = np.zeros(N, bool)
+        fresh[bidx] = ~occ
+        dyn |= inweak & fresh
+    return dyn
 
 
 # -- inspection dumps (saveColorCloud analog, tgrs.cpp:214-243) -----------

@@ -319,53 +319,83 @@ class SLAMPipeline:
         traj = self.lio.trajectory
         rel = se3.identity(jnp.float32)
         cur_est = None
+
+        def _t2pose(row):
+            # LIOPipeline.trajectory rows are [pos(3) | quat(4)]
+            # (lio._record); se3 poses are [quat(4) | pos(3)] — mixing
+            # them up rotates the world by a garbage quaternion (it cost
+            # the r4 overlap tracker most of its signal)
+            r = np.asarray(row, np.float32)
+            return jnp.asarray(np.concatenate([r[3:7], r[0:3]]))
+
         if len(traj) >= 1:
-            # The current scan's pose is not in `trajectory` yet —
-            # extrapolate constant-velocity from the last completed step
-            p_last = jnp.asarray(traj[-1], jnp.float32)
-            step = (se3.between(jnp.asarray(traj[-2], jnp.float32), p_last)
+            # The current scan's pose is not in `trajectory` yet — and
+            # with a pipelined/windowed front end the newest entry is
+            # `lag` MORE scans stale (results surface up to a window
+            # late).  Extrapolate constant-velocity over the true lag:
+            # a single-step extrapolation under-rotates by lag*yaw_rate
+            # and misplaces far points by meters, which destroys the
+            # appearance test's world-frame alignment.
+            if getattr(self.lio, "_use_window", False):
+                pend = (sum(nv for _, nv in self.lio._pending_ws)
+                        + len(self.lio._wbuf))
+            else:
+                pend = 1 if self.lio._pending_info is not None else 0
+            p_last = _t2pose(traj[-1])
+            step = (se3.between(_t2pose(traj[-2]), p_last)
                     if len(traj) >= 2 else se3.identity(jnp.float32))
-            cur_est = se3.compose(p_last, step)
+            cur_est = p_last
+            for _ in range(pend + 1):
+                cur_est = se3.compose(cur_est, step)
         if len(traj) >= gap + 1:
             # track_pd wants T_prev<-next = prev^-1 * next (its centers
             # are in the CURRENT scan frame and get projected into the
             # tracked grid's frame); the tracked grid's scan (`gap`
             # scans before current) has pose trajectory[-gap].
-            p_prev = jnp.asarray(traj[-gap], jnp.float32)
+            p_prev = _t2pose(traj[-gap])
             rel = se3.between(p_prev, cur_est).astype(jnp.float32)
         mode = getattr(self.cfg, "dyn_track_mode", "overlap")
-        if mode == "centroid":
-            # K-frame centroid track accumulation (see
-            # LIOConfig.dyn_track_mode): world-frame PD cluster
-            # centroids vs the last K PD sets, displacement-band vote
-            ng = valid & ~gm
-            grid = dyn.encode_scan(p, ng, prm)
+        if mode == "appearance":
+            # K-frame world-occupancy appearance test (see
+            # LIOConfig.dyn_track_mode and perception.dynamic): a
+            # mover's current world voxels were free space ~2 s ago
+            K = max(4, int(getattr(self.cfg, "dyn_track_k", 24)))
+            old_lo = max(2, int(round(K * 5 / 6)))  # frames 20..24 of 24
+            vs = float(getattr(self.cfg, "dyn_appear_voxel", 0.45))
+            r_max = float(getattr(self.cfg, "dyn_appear_range", 28.0))
+            z_band = float(getattr(self.cfg, "dyn_appear_z_band", 1.0))
+            band = np.asarray(valid & ~gm) & (
+                np.asarray(p[:, 2]) <= z_band)
+            grid = dyn.encode_scan(p, jnp.asarray(band), prm)
             grid = dyn.cluster_grid(grid, prm)
-            pd = dyn.recognize_pd(grid, prm)
-            ids, cents, _cnts = dyn.pd_cluster_centroids(grid, pd, prm)
+            lab_pt = dyn.point_labels(grid)
             cur_np = (np.asarray(cur_est, np.float64) if cur_est is not None
                       else np.array([1.0, 0, 0, 0, 0, 0, 0]))
             R = np.asarray(so3.quat_to_matrix(jnp.asarray(cur_np[0:4])))
-            cents_w = (cents @ R.T + cur_np[4:7]).astype(np.float32)
-            hist = getattr(self, "_cent_hist", None)
+            pts_w = (np.asarray(pts, np.float64) @ R.T
+                     + cur_np[4:7]).astype(np.float64)
+            keys = dyn.world_voxel_keys(pts_w, vs)
+            hist = getattr(self, "_app_hist", None)
             if hist is None:
                 from collections import deque
 
-                K = max(2, int(getattr(self.cfg, "dyn_track_k", 8)))
-                self._cent_hist = hist = deque(maxlen=K)
-            aged = [(len(hist) - i, h) for i, h in enumerate(hist)]
-            dt = 1.0 / max(1e-6, float(getattr(
-                self.cfg.preprocess, "scan_rate", 10.0)))
-            hd_cl = dyn.track_centroids_hd(
-                cents_w, aged, dt=dt,
-                v_min=float(getattr(self.cfg, "dyn_track_vmin", 0.7)))
-            hist.append(cents_w)
-            lab_pt = dyn.point_labels(grid)
-            if hd_cl.any():
-                dynmask = np.isin(lab_pt, np.asarray(ids)[hd_cl])
-            else:
-                dynmask = np.zeros(len(pts), bool)
-            keep = np.asarray(valid) & (np.asarray(gm) | ~dynmask)
+                self._app_hist = hist = deque(maxlen=K)
+                self._app_sens = deque(maxlen=K + 1)
+            self._app_sens.append(cur_np[4:7].copy())
+            dynmask = np.zeros(len(pts), bool)
+            if len(hist) >= K:
+                old_sorted = np.unique(np.concatenate(
+                    [hist[-k] for k in range(old_lo, K + 1)]))
+                sens_now = cur_np[4:7]
+                sens_old = self._app_sens[0]
+                rng_ok = (
+                    (np.linalg.norm(pts_w - sens_now, axis=1) <= r_max)
+                    & (np.linalg.norm(pts_w - sens_old, axis=1) <= r_max))
+                scored = band & (lab_pt >= 0) & rng_ok
+                dynmask = dyn.appearance_dynamic_mask(
+                    keys, scored, band, lab_pt, old_sorted)
+            hist.append(np.unique(keys[band & (lab_pt >= 0)]))
+            keep = np.asarray(valid) & ~dynmask
         else:
             hist = getattr(self, "_grid_hist", None)
             if hist is None:

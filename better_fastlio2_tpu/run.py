@@ -109,10 +109,10 @@ def cmd_mapping(args):
         cfg.sensor_height = 2.0
         cfg.ssc_sensor_height = cfg.ssc_sensor_height or 0.4
         cfg.dyn_track_gap = 5  # 0.5 s tracking gap (overlap-mode fallback)
-        # K-frame centroid track accumulation: the 10 Hz moving-sensor
-        # operating point where single-gap occupancy overlap has no
-        # signal (LIOConfig.dyn_track_mode)
-        cfg.dyn_track_mode = "centroid"
+        # K-frame appearance test: the 10 Hz moving-sensor operating
+        # point where single-gap occupancy overlap has no signal
+        # (LIOConfig.dyn_track_mode)
+        cfg.dyn_track_mode = "appearance"
     if getattr(args, "gps", False):
         cfg.gps.enable = True
     # async pose-graph optimization by default when loops are on — the
@@ -288,8 +288,8 @@ def cmd_mapping(args):
         # construction and would deflate recall on short runs
         from .io.evaluate import pr_rr_f1
 
-        if getattr(cfg, "dyn_track_mode", "overlap") == "centroid":
-            gap = max(2, int(getattr(cfg, "dyn_track_k", 8)))
+        if getattr(cfg, "dyn_track_mode", "overlap") == "appearance":
+            gap = max(2, int(getattr(cfg, "dyn_track_k", 24)))
         else:
             gap = max(1, int(getattr(cfg, "dyn_track_gap", 1)))
         scored_pred = dyn_pred[gap:] if len(dyn_pred) > gap else dyn_pred

@@ -223,3 +223,36 @@ def test_pr_rr_f1_on_synthetic_movers():
     pr, rr, f1 = pr_rr_f1(pred_dyn, gt2)
     assert rr > 0.5, f"mover recall {rr:.2f}"
     assert f1 > 0.4, f"f1 {f1:.2f} (precision {pr:.2f})"
+
+
+def test_appearance_dynamic_mask_basic():
+    """World-occupancy appearance test (dyn_track_mode="appearance"):
+    a cluster whose world voxels were occupied in the old union stays;
+    a cluster in previously-free space is removed whole when strongly
+    fresh; a moderately fresh cluster sheds only its fresh points."""
+    import numpy as np
+
+    from better_fastlio2_tpu.perception import dynamic as dyn
+
+    vs = 0.5
+    # static cluster at x~0, mover cluster at x~10 (fresh), mixed at x~20
+    pts = np.concatenate([
+        np.stack([0.1 + 0.5 * np.arange(6), np.zeros(6), np.zeros(6)], 1),
+        np.stack([10.1 + 0.5 * np.arange(6), np.zeros(6), np.zeros(6)], 1),
+        np.stack([20.1 + 0.5 * np.arange(6), np.zeros(6), np.zeros(6)], 1),
+    ])
+    keys = dyn.world_voxel_keys(pts, vs)
+    lab = np.repeat([1, 2, 3], 6)
+    band = np.ones(18, bool)
+    scored = band.copy()
+    # old union: the static cluster's exact voxels; for the mixed
+    # cluster, 4 of 6 voxels (frac 0.67: weak band between 0.55 and 0.9)
+    old = np.unique(np.concatenate([keys[:6], keys[12:16]]))
+    dynmask = dyn.appearance_dynamic_mask(keys, scored, band, lab, old)
+    assert not dynmask[:6].any(), "static cluster must not be removed"
+    assert dynmask[6:12].all(), "fresh cluster must be removed whole"
+    # mixed: only the 2 fresh points go (27-neighbourhood makes the
+    # voxels adjacent to old ones count as occupied, so check the far end)
+    assert not dynmask[12:16].any()
+    # far-end points beyond the dilated old set are removed
+    assert dynmask[17]
