@@ -262,6 +262,11 @@ def main():
         # would overflow the budget every scan (permanent fallback), so
         # it stays off there
         solve_compact=(3 * n_ds) // 4 if workload == "outdoor" else 0,
+        # overflow preference when occupied voxels exceed n_ds (~20k
+        # outdoors): shed canopy tops, keep the ground — measured
+        # +hit-rate outdoors, measured -hit-rate on the room (whose
+        # ceiling is a first-class plane), hence per-workload
+        ds_drop_high_z=(workload == "outdoor"),
     )
     cfg.mapping = MappingConfig(
         det_range=60.0, cube_len=400.0, surf_leaf_size=0.5,
@@ -320,11 +325,14 @@ def main():
         # point-to-plane residuals at ~0.4 even for TRUE revisits
         # (measured: candidates at the genuine second-lap overlap carry
         # fitness 0.36-0.47, tpu_queue.log slam_diag2) — the tight
-        # radius/time gates + SC distance carry the precision.  Sensor
-        # noise 0.02 m (vs the throughput bench's 0.004) makes the
-        # front end accumulate real odometry drift for the backend to
-        # correct; the step cost is shape-static, so the throughput
-        # comparison against the front-end-only number stays valid.
+        # radius/time gates + SC distance carry the precision.  The
+        # SENSOR is a sparse noisy 16-beam-class unit (8k returns at
+        # 3 cm noise + gyro bias random walk): the production step is
+        # unchanged (static shapes — identical cost), but per-scan
+        # accuracy drops enough for real odometry drift to accumulate,
+        # which is what the backend exists to correct (measured:
+        # keyframe ATE 0.0282 odom -> 0.0261 corrected with 3 loops,
+        # tpu_queue.log round5 slam_diag).
         cfg.loop.enable = True
         cfg.loop.search_radius = 5.0
         cfg.loop.search_time_diff = 10.0
@@ -332,7 +340,7 @@ def main():
         cfg.mapping.keyframe_adding_dist_threshold = 1.0
         groups = list(make_lio_sequence(
             duration=n_scans / 10.0, scan_rate=10.0, imu_rate=100.0,
-            n_points=30_000, seed=7, noise=0.02,
+            n_points=8000, seed=7, noise=0.03, gyr_bias_walk=2e-4,
             traj=Trajectory(t_still=0.7, speed=3.0, yaw_rate=0.4),
             world=OutdoorWorld(seed=7)))
     else:

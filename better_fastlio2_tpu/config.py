@@ -180,6 +180,15 @@ class ShapesConfig:
     # path.  Off by default — the default SPMD program matches the
     # single-chip program to reduction order.
     spmd_local_downsample: bool = False
+    # scan-downsample overflow preference (ops/downsample.voxel_downsample
+    # drop_high_z): when a scan's occupied voxels exceed n_ds, drop the
+    # HIGHEST-z cells first (outdoor scenes whose top band is volumetric
+    # canopy clutter) instead of the default wrap order that sheds
+    # below-sensor geometry first (indoor scenes with a first-class
+    # ceiling plane).  Both preferences measured on the two bench
+    # workloads — this is scene/sensor configuration, like the
+    # reference's blind/FoV parameters.
+    ds_drop_high_z: bool = False
     # mom_dense torus z-span policy: the pipeline derives map_dense_log2
     # from det_range/voxel when it is None (derive_map_dense_log2), and
     # a z span below det_range is a HARD ERROR — a tall structure would
@@ -359,6 +368,8 @@ class LIOConfig:
             cfg.shapes.map_dense_log2 = tuple(v) if v is not None else None
         if "map_dense_z_clip" in shp:
             cfg.shapes.map_dense_z_clip = bool(shp["map_dense_z_clip"])
+        if "ds_drop_high_z" in shp:
+            cfg.shapes.ds_drop_high_z = bool(shp["ds_drop_high_z"])
         if "dtype" in d:
             cfg.dtype = d["dtype"]
         if "dynamic_removal" in d:

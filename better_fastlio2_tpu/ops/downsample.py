@@ -19,13 +19,14 @@ import jax.numpy as jnp
 __all__ = ["voxel_downsample"]
 
 
-@partial(jax.jit, static_argnames=("out_size", "packed_key"))
+@partial(jax.jit, static_argnames=("out_size", "packed_key", "drop_high_z"))
 def voxel_downsample(
     pts: jax.Array,
     valid: jax.Array,
     voxel_size,
     out_size: int | None = None,
     packed_key: bool = False,
+    drop_high_z: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Centroid-per-voxel downsample.
 
@@ -39,6 +40,18 @@ def voxel_downsample(
         when the batch's per-axis voxel extent is under the 1024-cell
         wrap period — true for sensor-frame scans (extent <= 2x
         det_range / voxel), NOT for world-frame aggregate clouds.
+      drop_high_z (packed_key only): when occupied voxels exceed
+        out_size, the truncation drops the LAST-sorted groups.  The
+        default wrap order puts NEGATIVE sensor-frame z at the top of
+        the key range (below-sensor geometry is dropped first); with
+        drop_high_z=True the z bits carry a +256 offset making the
+        order monotone in z, so overflow drops the HIGHEST cells first
+        — the right preference for outdoor scenes whose top band is
+        volumetric canopy clutter (measured +hit-rate on the hostile
+        outdoor workload) and the wrong one for indoor scenes whose
+        ceiling is a first-class plane (measured -hit-rate on the room
+        workload) — hence a per-scene config, ShapesConfig
+        .ds_drop_high_z.
 
     Returns (out_pts (M,3), out_valid (M,)).
     """
@@ -51,21 +64,12 @@ def voxel_downsample(
     # multi-operand lax.sort co-sorts the payload with the key(s) in one
     # pass — ~1.5x cheaper than argsort + three per-lane gathers on TPU
     if packed_key:
-        # z (the sort-major bits) carries a +256 offset so sensor-frame
-        # NEGATIVE z does not wrap to the top of the key range: without
-        # it, when occupied voxels exceed out_size the truncation (group
-        # ids >= M drop below) discards the LAST-sorted groups — which
-        # wrap-ordering made the ground plane (ijk_z ~ -7 -> key 1017)
-        # while keeping high canopy clutter.  With the offset the order
-        # is monotone in z over ijk_z in [-256, 767] (the packed_key
-        # extent guard keeps scans far inside) and overflow drops the
-        # HIGHEST cells first — canopy tops, the least plane-like
-        # geometry — instead of the ground.
+        zk = (ijk[:, 2] + 256) if drop_high_z else ijk[:, 2]
         key = jnp.where(
             valid,
             (ijk[:, 0] & 1023)
             | ((ijk[:, 1] & 1023) << 10)
-            | (((ijk[:, 2] + 256) & 1023) << 20),
+            | ((zk & 1023) << 20),
             INT_MAX,
         )
         key_s, x_s, y_s, z_s, valid_s = jax.lax.sort(

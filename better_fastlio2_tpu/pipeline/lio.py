@@ -275,6 +275,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             pts_body, pt_valid, mp.surf_leaf_size,
             out_size=sh.n_ds // spmd_ndev if local_ds else sh.n_ds,
             packed_key=(2.2 * mp.det_range / mp.surf_leaf_size) < 1000.0,
+            drop_high_z=getattr(sh, "ds_drop_high_z", False),
         )
 
         # ---- iterated ESIKF update ---------------------------------------
