@@ -168,6 +168,16 @@ class ShapesConfig:
     # C++ reference rejects those points early and gets the saving for
     # free — laserMapping.cpp:1909-1938)
     solve_compact: int = 0
+    # association neighborhood (plane_cache steady path only):
+    # "face7" = own + 6 face neighbors (reference-parity symmetric
+    # union); "tangent5" = own cell first, then only the 4 face
+    # neighbors on the own-normal's two TANGENT axes (5 moment-row
+    # reads); "octant4" = own + the 3 same-side neighbors (measured
+    # diverging — kept for measurement).  The association gather is
+    # random-row bound (~21 ns/row, PERF.md) so the row count is a
+    # first-order perf knob; accuracy-gated per workload like
+    # ds_drop_high_z.
+    assoc_cells: str = "face7"
     # SPMD mode only (LIOPipeline(mesh=...), steady mom_dense program):
     # each device voxel-downsamples ITS raw shard locally (n_ds/D rows)
     # instead of replicating the global sort — the downsample then
@@ -370,6 +380,8 @@ class LIOConfig:
             cfg.shapes.map_dense_z_clip = bool(shp["map_dense_z_clip"])
         if "ds_drop_high_z" in shp:
             cfg.shapes.ds_drop_high_z = bool(shp["ds_drop_high_z"])
+        if "assoc_cells" in shp:
+            cfg.shapes.assoc_cells = str(shp["assoc_cells"])
         if "dtype" in d:
             cfg.dtype = d["dtype"]
         if "dynamic_removal" in d:

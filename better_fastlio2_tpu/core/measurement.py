@@ -120,89 +120,164 @@ def plane_fit(
     return n, d, plane_ok
 
 
-def neighborhood_moment_sums(
-    m: voxel_hash.VoxelHashMap,
-    p_world: jax.Array,
-    max_probe: int = 16,
-    cell_mask_fn=None,
-) -> tuple[jax.Array, jax.Array]:
-    """(sums (N, 10), ijk (N, 3)): per-query moments of the 7-cell
-    neighborhood (own + face neighbors), rebased to the query's own-cell
-    corner and summed.  `cell_mask_fn(nb_coords) -> bool` restricts which
-    cells contribute (the device-sharded map sums only OWNED cells and
-    psums the partials — sums are associative across shards).
-
-    With a dense moment table (m.dmom, the steady-state fast path) the
-    whole read is ONE (N, 7)-lane row gather validated by the alias tag —
-    no slot lookup, no second gather; identical sums whenever the two
-    tables hold the same voxels."""
-    dtype = m.points.dtype
-    vs = m.voxel_size
-    N = p_world.shape[0]
-
-    offs = voxel_hash._neighbor_offsets(7)  # own + 6 face neighbors
-    NB = offs.shape[0]
-    ijk = voxel_hash._voxel_of(p_world, vs)
-    nb = ijk[:, None, :] + offs[None, :, :]
+def _gather_moment_rows(m, nb, cell_mask_fn, max_probe, dtype):
+    """List of (N, 10) masked corner-relative moment rows, one per
+    neighbor column of `nb` (N, NB, 3) — dense-table (tag-validated) or
+    slot-table path.  One 1-D-indexed row gather PER OFFSET: lowering
+    variants A/B-measured in profile_ablate2 (ms/scan full window): this
+    form 7.6-7.7; single (N, NB) 2-D-index gather +0.44; 4-D multi-dim
+    indexing ~21; vmap(dynamic_slice) (3, CH)-slices for the contiguous
+    z-run ~51 (!).  XLA's gather lowering on this backend strongly
+    prefers plain 1-D row indexing."""
+    NB = nb.shape[1]
+    mask_ok = cell_mask_fn(nb) if cell_mask_fn is not None else None
+    rows_l = []
     if m.dmom is not None:
         dense_shape = m.dense.shape
         lin = voxel_hash._dense_linear(dense_shape, nb)  # (N, NB)
         tag = voxel_hash._alias_tag(dense_shape, nb).astype(dtype)
-        # one 1-D-indexed row gather PER OFFSET.  Lowering variants
-        # A/B-measured in profile_ablate2 (ms/scan full window): this
-        # form 7.6-7.7; single (N, NB) 2-D-index gather +0.44; 4-D
-        # multi-dim indexing ~21; vmap(dynamic_slice) (3, CH)-slices for
-        # the contiguous z-run ~51 (!).  XLA's gather lowering on this
-        # backend strongly prefers plain 1-D row indexing.
-        mask_ok = cell_mask_fn(nb) if cell_mask_fn is not None else None
-        rows_l = []
         for j in range(NB):
             rj = m.dmom[lin[:, j]]  # (N, DMOM_CH)
             okj = rj[:, 0] == tag[:, j]
             if mask_ok is not None:
                 okj = okj & mask_ok[:, j]
             rows_l.append(jnp.where(okj[:, None], rj[:, 1:11], 0.0))
-        mom_nb = rows_l  # list of (N, 10), consumed per-offset below
-        slots = None
     else:
         assert m.mom is not None, "map must be allocated with moments=True"
+        N = nb.shape[0]
         if m.dense is not None:
             slots = voxel_hash._dense_lookup(m.dense, nb)
         else:
             slots = voxel_hash._lookup_slots(
                 m.key, nb.reshape(-1, 3), max_probe
             ).reshape(N, NB)
-        if cell_mask_fn is not None:
-            slots = jnp.where(cell_mask_fn(nb), slots, -1)
-
-    # rebase each neighbor's corner-relative moments to the OWN cell's
-    # corner: delta = offs * vs (exact small constants), then
-    #   S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b
-    # The sum over the 7 neighbors is accumulated one offset at a time
-    # with the offset components as TRACE-TIME scalars: only (N, 10)
-    # intermediates ever exist, vs the (N, 7, 3, 3) broadcast tensors of
-    # the tensorized form (~17 MB of HBM round trips at n_ds = 16k,
-    # measurably slower on v5e).
-    sums = jnp.zeros((N, 10), dtype)
-    iu = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-    for j in range(NB):
-        if slots is None:
-            momj = mom_nb[j]  # dense path: already gathered
-        else:
+        if mask_ok is not None:
+            slots = jnp.where(mask_ok, slots, -1)
+        for j in range(NB):
             sl = slots[:, j]
-            momj = jnp.where((sl >= 0)[:, None],
-                             m.mom[jnp.maximum(sl, 0)], 0.0)  # (N, 10)
-        n_c = momj[:, 0]
-        S1 = momj[:, 1:4]
+            rows_l.append(jnp.where((sl >= 0)[:, None],
+                                    m.mom[jnp.maximum(sl, 0)], 0.0))
+    return rows_l
+
+
+def _accumulate_rebased(sums, momj, dj, iu):
+    """sums += momj rebased by delta dj (3 scalars or (N,) arrays):
+    S1' = S1 + n δ,  S2'_ab = S2_ab + δ_a S1_b + δ_b S1_a + n δ_a δ_b.
+    Accumulated one offset at a time so only (N, 10) intermediates ever
+    exist, vs the (N, NB, 3, 3) broadcast tensors of the tensorized form
+    (~17 MB of HBM round trips at n_ds = 16k, measurably slower on
+    v5e)."""
+    n_c = momj[:, 0]
+    S1 = momj[:, 1:4]
+    S1r = jnp.stack([S1[:, a] + n_c * dj[a] for a in range(3)], -1)
+    S2r = jnp.stack(
+        [momj[:, 4 + k] + dj[a] * S1[:, b] + dj[b] * S1[:, a]
+         + n_c * (dj[a] * dj[b]) for k, (a, b) in enumerate(iu)],
+        -1,
+    )
+    return sums + jnp.concatenate([n_c[:, None], S1r, S2r], axis=-1)
+
+
+_REBASE_IU = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def neighborhood_moment_sums(
+    m: voxel_hash.VoxelHashMap,
+    p_world: jax.Array,
+    max_probe: int = 16,
+    cell_mask_fn=None,
+    cells: str = "face7",
+) -> tuple[jax.Array, jax.Array]:
+    """(sums (N, 10), ijk (N, 3)): per-query moments of the blended cell
+    neighborhood, rebased to the query's own-cell corner and summed.
+    `cell_mask_fn(nb_coords) -> bool` restricts which cells contribute
+    (the device-sharded map sums only OWNED cells and psums the partials
+    — sums are associative across shards).
+
+    With a dense moment table (m.dmom, the steady-state fast path) the
+    whole read is a tag-validated row gather per neighbor offset — no
+    slot lookup, no second gather; identical sums whenever the two
+    tables hold the same voxels.
+
+    `cells` selects the neighborhood (the association gather is the
+    dominant step cost, ~21 ns/row random-row reads — PERF.md — so the
+    row count is a first-order perf knob):
+    - "face7" (default): own + 6 face neighbors, the reference-parity
+      symmetric union.
+    - "tangent5": two-phase read — the own-cell row first, its moment
+      normal's dominant axis, then ONLY the 4 face neighbors on the two
+      TANGENT axes (where a locally planar surface actually extends);
+      the 2 normal-direction neighbors a plane cannot reach are skipped.
+      5 rows instead of 7 (~29% of the gather), support stays symmetric
+      in the tangent plane.  Own cells with < 3 points default to a
+      z-normal (ground prior).
+    - "octant4": own + the 3 face neighbors on the point's side of its
+      cell center.  Cheapest (4 rows) but measured-diverging on the e2e
+      pipeline (halves TANGENT support: a wall in the y-z plane needs
+      ±y/±z neighbors regardless of the point's octant) — kept for
+      measurement, not production."""
+    dtype = m.points.dtype
+    vs = m.voxel_size
+    N = p_world.shape[0]
+    iu = _REBASE_IU
+
+    ijk = voxel_hash._voxel_of(p_world, vs)
+
+    if cells == "tangent5":
+        # phase 1: own-cell row (delta 0 — rebase is identity)
+        own = _gather_moment_rows(m, ijk[:, None, :], cell_mask_fn,
+                                  max_probe, dtype)[0]
+        n_c = own[:, 0]
+        S1 = own[:, 1:4]
+        iu3 = jnp.array([[0, 1, 2], [1, 3, 4], [2, 4, 5]])
+        S2 = own[:, 4:10][:, iu3]
+        c = S1 / jnp.maximum(n_c, 1.0)[:, None]
+        Cov = S2 - S1[:, :, None] * c[:, None, :]
+        nvec, _ = _sym3_smallest_eig(Cov)
+        # dominant normal axis; young own cells (< 3 pts) -> z (ground
+        # prior): their union then blends the ±x/±y ring, the safest
+        # default for scan geometry
+        dom = jnp.where(n_c >= 3, jnp.argmax(jnp.abs(nvec), axis=-1), 2)
+        a1 = (dom + 1) % 3
+        a2 = (dom + 2) % 3
+        e1 = jax.nn.one_hot(a1, 3, dtype=jnp.int32)  # (N, 3)
+        e2 = jax.nn.one_hot(a2, 3, dtype=jnp.int32)
+        # phase 2: the 4 tangent-axis face neighbors
+        nb = jnp.stack([ijk + e1, ijk - e1, ijk + e2, ijk - e2], axis=1)
+        rows = _gather_moment_rows(m, nb, cell_mask_fn, max_probe, dtype)
+        sums = own  # own-cell contribution
+        deltas = [e1.astype(dtype) * vs, -e1.astype(dtype) * vs,
+                  e2.astype(dtype) * vs, -e2.astype(dtype) * vs]
+        for j in range(4):
+            dj = [deltas[j][:, a] for a in range(3)]
+            sums = _accumulate_rebased(sums, rows[j], dj, iu)
+        return sums, ijk
+
+    if cells == "octant4":
+        # sign of the point's offset from its cell CENTER, per axis
+        frac = p_world / vs - ijk.astype(dtype)  # in [0, 1)
+        sgn = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)  # (N, 3)
+        eye = jnp.eye(3, dtype=jnp.int32)
+        step = sgn[:, :, None] * eye[None, :, :]  # (N, 3, 3): row a = ±e_a
+        nb = jnp.concatenate(
+            [ijk[:, None, :], ijk[:, None, :] + step], axis=1)  # (N, 4, 3)
+        rows = _gather_moment_rows(m, nb, cell_mask_fn, max_probe, dtype)
+        sums = rows[0]  # own cell: zero delta
+        for j in range(1, 4):
+            dj = [step[:, j - 1, a].astype(dtype) * vs for a in range(3)]
+            sums = _accumulate_rebased(sums, rows[j], dj, iu)
+        return sums, ijk
+
+    assert cells == "face7", f"unknown cells mode {cells!r}"
+    offs = voxel_hash._neighbor_offsets(7)  # own + 6 face neighbors
+    NB = offs.shape[0]
+    nb = ijk[:, None, :] + offs[None, :, :]
+    rows = _gather_moment_rows(m, nb, cell_mask_fn, max_probe, dtype)
+    sums = jnp.zeros((N, 10), dtype)
+    for j in range(NB):
         # δ_j as python-float scalars when vs is static, else traced
         dj = [offs[j, a].astype(dtype) * vs for a in range(3)]
-        S1r = jnp.stack([S1[:, a] + n_c * dj[a] for a in range(3)], -1)
-        S2r = jnp.stack(
-            [momj[:, 4 + k] + dj[a] * S1[:, b] + dj[b] * S1[:, a]
-             + n_c * (dj[a] * dj[b]) for k, (a, b) in enumerate(iu)],
-            -1,
-        )
-        sums = sums + jnp.concatenate([n_c[:, None], S1r, S2r], axis=-1)
+        sums = _accumulate_rebased(sums, rows[j], dj, iu)
     return sums, ijk
 
 
@@ -243,6 +318,7 @@ def plane_from_moments(
     max_probe: int = 16,
     thresh: float = PLANE_INLIER_THRESH,
     min_points: int = NUM_MATCH_POINTS,
+    cells: str = "face7",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-point plane from the map's per-voxel moment cache.
 
@@ -258,7 +334,8 @@ def plane_from_moments(
     Returns (normal (N,3), d (N,), plane_ok (N,)) with n·p + d = 0,
     d >= 0 sign convention matching plane_fit.
     """
-    sums, ijk = neighborhood_moment_sums(m, p_world, max_probe=max_probe)
+    sums, ijk = neighborhood_moment_sums(m, p_world, max_probe=max_probe,
+                                         cells=cells)
     return finalize_plane_from_sums(
         sums, ijk, m.voxel_size, valid, thresh=thresh, min_points=min_points
     )
@@ -334,6 +411,7 @@ def make_measure_fn(
     early_converge: bool = False,
     solve_compact: int = 0,
     psum_axis: str | None = None,
+    assoc_cells: str = "face7",
 ):
     """Build a measure_fn(state, converged, aux) -> MeasurementOut closure
     over a fixed scan + map, for esikf.update_iterated.
@@ -389,7 +467,8 @@ def make_measure_fn(
         """Association of a (possibly compacted) row set -> (n, d, ok)."""
         if plane_cache:
             return plane_from_moments(m, p_w, rows_valid,
-                                      max_probe=max_probe)
+                                      max_probe=max_probe,
+                                      cells=assoc_cells)
         nb, d2, ok = voxel_hash.knn(
             m, p_w, k=NUM_MATCH_POINTS, max_probe=max_probe,
             n_neighbors=n_neighbors, max_live=max_live,

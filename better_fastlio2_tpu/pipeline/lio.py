@@ -314,6 +314,7 @@ def _make_step_core(cfg: LIOConfig, plane_cache: bool | None = None,
             early_converge=getattr(cfg.ikdtree, "early_converge", False),
             solve_compact=getattr(sh, "solve_compact", 0) // spmd_ndev,
             psum_axis=spmd_axis,
+            assoc_cells=getattr(sh, "assoc_cells", "face7"),
         )
 
         def do_update(_):
