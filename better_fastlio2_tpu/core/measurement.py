@@ -212,10 +212,21 @@ def neighborhood_moment_sums(
       in the tangent plane.  Own cells with < 3 points default to a
       z-normal (ground prior).
     - "octant4": own + the 3 face neighbors on the point's side of its
-      cell center.  Cheapest (4 rows) but measured-diverging on the e2e
-      pipeline (halves TANGENT support: a wall in the y-z plane needs
-      ±y/±z neighbors regardless of the point's octant) — kept for
-      measurement, not production."""
+      cell center.  Cheapest (4 rows).
+
+    MEASURED-REJECTED for production (PERF.md round-5): both reduced
+    modes pin the motion axis at trajectory transients on the e2e
+    pipeline (est velocity never acquired; ATE 1.9 m vs 0.10 m) even
+    though their static plane quality matches face7.  A control
+    experiment (tangent5 union CONTENT via the static face7 gather)
+    reproduces the pin exactly, so the failure is the union content:
+    when the pose error approaches a voxel, the cells IN FRONT of a
+    surface associate through their normal-direction neighbors — that
+    is how face7 lanes see the true surface and pull the state through
+    a transient; without them the under-corrected filter inserts a
+    phantom surface at the wrong pose and the map corruption locks the
+    pin.  The normal-direction reads are load-bearing, not padding.
+    Kept as measurement knobs; default face7."""
     dtype = m.points.dtype
     vs = m.voxel_size
     N = p_world.shape[0]
