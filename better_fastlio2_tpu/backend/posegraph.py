@@ -152,6 +152,23 @@ def set_pose(g: PoseGraph, idx, pose) -> PoseGraph:
     )
 
 
+def set_poses(g: PoseGraph, poses: jnp.ndarray, n) -> PoseGraph:
+    """Batch pose writeback: replace rows [0, n) of the pose buffer in
+    ONE masked update.  correctPoses applies the whole optimized array
+    (laserMapping.cpp:769-805); doing it with per-index set_pose costs
+    one device dispatch per keyframe — O(n) tiny dispatches on every
+    async-backend harvest."""
+    P = g.poses.shape[0]
+    k = jnp.minimum(jnp.asarray(n, jnp.int32), P)
+    padded = jnp.zeros_like(g.poses).at[: poses.shape[0]].set(
+        poses.astype(g.poses.dtype))
+    mask = (jnp.arange(P) < k)[:, None]
+    return g._replace(
+        poses=jnp.where(mask, padded, g.poses),
+        n_poses=jnp.maximum(g.n_poses, k),
+    )
+
+
 # ---------------------------------------------------------------------------
 # linearization
 # ---------------------------------------------------------------------------

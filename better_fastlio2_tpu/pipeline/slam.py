@@ -12,10 +12,13 @@ src/laserMapping.cpp):
   correctPoses              :769-805  rewrite keyframe poses after loop
 
 The reference runs loop closure on a 1 Hz std::thread sharing state
-under a mutex (P4 in SURVEY.md §2.6); here it runs synchronously every
-`loop_every` keyframes — same semantics, deterministic schedule.  The
-device work (SC descriptors, ICP, pose-graph GN) is jitted; bookkeeping
-(keyframe clouds, timestamps) lives on the host.
+under a mutex (P4 in SURVEY.md §2.6); here the sync mode runs it every
+`loop_every` keyframes (same semantics, deterministic schedule), and
+async_backend=True moves detection + SC gating + ICP verification onto
+a worker thread (the loopClosureThread analog) with verified factors
+applied by the feed thread on poll — the feed thread never blocks on a
+loop attempt.  The device work (SC descriptors, ICP, pose-graph GN) is
+jitted; bookkeeping (keyframe clouds, timestamps) lives on the host.
 """
 
 from __future__ import annotations
@@ -101,6 +104,14 @@ class SLAMPipeline:
                      and cfg.gps.enable else 0),
             dtype=jnp.dtype(cfg.dtype),
         )
+        if self._host_dev is not None:
+            # commit the graph arrays to the host device: every factor
+            # add / pose writeback then runs CPU-side instead of queueing
+            # tiny scatters on the (remote) accelerator stream the window
+            # program is pipelining on
+            import jax
+
+            self.graph = jax.device_put(self.graph, self._host_dev)
         self._graph_dirty = False
         # GPS stream buffer + factor bookkeeping (addGPSFactor analog —
         # the stub the reference never finished, laserMapping.cpp:689)
@@ -113,6 +124,25 @@ class SLAMPipeline:
 
             self._async = (AsyncBackend(device=self._host_dev)
                            if self._host_dev is not None else AsyncBackend())
+        # loop-closure worker thread (the reference's loopClosureThread,
+        # laserMapping.cpp:1021-1038): candidate detection, submap
+        # assembly, Scan Context gating and ICP verification run OFF the
+        # feed thread; verified factors are applied by the feed thread on
+        # poll.  Reading the append-only keyframe list from the worker is
+        # GIL-safe; pose refs swapped by _apply_correction may be one
+        # correction stale, which only perturbs the detection gates — the
+        # factor itself is the ICP result against the submap geometry.
+        self._loop_async = bool(async_backend and cfg.loop.enable)
+        self._loop_inflight = 0
+        if self._loop_async:
+            import queue as _queue
+            import threading
+
+            self._loop_req: "_queue.Queue" = _queue.Queue(maxsize=2)
+            self._loop_res: "_queue.Queue" = _queue.Queue()
+            self._loop_thread = threading.Thread(
+                target=self._loop_thread_main, daemon=True)
+            self._loop_thread.start()
         if backend_on_host and cfg.loop.enable:
             # prime the loop-verification compiles (fixed padded shapes)
             # at construction so the first in-run loop attempt costs its
@@ -154,12 +184,29 @@ class SLAMPipeline:
         is already final.  Returns the last drained LIO result or None."""
         out = self.lio.flush()
         self._scan_fifo.clear()
+        if self._loop_async and self._loop_inflight > 0:
+            # drain in-flight loop verifications (blocking): verified
+            # factors must reach the graph before the final optimization
+            applied = False
+            while self._loop_inflight > 0:
+                res = self._loop_res.get()
+                self._loop_inflight -= 1
+                if res is not None:
+                    self._apply_loop_factor(*res)
+                    applied = True
+            if applied:
+                self._graph_dirty = True
         if self._async is not None and self._async.busy:
             res = self._async.wait()
             if res is not None:
                 poses, n_snap = res
                 self._apply_correction(np.asarray(poses, np.float64),
                                        n=n_snap)
+        if self._graph_dirty:
+            # factors that landed after the last optimization (or while
+            # the backend was busy) get their final GN pass here
+            self._optimize_and_correct()
+            self._graph_dirty = False
         return out
 
     # -- keyframe gating (saveFrame, laserMapping.cpp:525-547) -------------
@@ -286,28 +333,47 @@ class SLAMPipeline:
                 self._apply_correction(np.asarray(poses, np.float64),
                                        n=n_snap)
 
+        # harvest loop-worker verifications (feed thread applies the
+        # factor; loopClosureThread -> main handoff analog)
+        closed = self._loop_async and self._poll_loop_results()
         if self._is_keyframe(pose7):
             self._add_keyframe(pose7, pts, scan_beg_abs + scan_end_t)
             self._maybe_add_gps(self.keyframes[-1])
-            closed = False
             if (
                 self.cfg.loop.enable
                 and len(self.keyframes) - self._kf_count_at_last_loop
                 >= self.loop_every
             ):
                 self._kf_count_at_last_loop = len(self.keyframes)
-                closed = self._try_loop_closure()
+                if self._loop_async:
+                    # hand detection + verification to the worker; the
+                    # factor lands via _poll_loop_results on a later scan
+                    import queue as _queue
+
+                    try:
+                        self._loop_req.put_nowait(len(self.keyframes) - 1)
+                        self._loop_inflight += 1
+                    except _queue.Full:
+                        pass  # worker saturated: skip, like the 1 Hz thread
+                else:
+                    closed = self._try_loop_closure() or closed
             # optimize on a closed loop, or periodically once GPS factors
             # accumulate (the reference's intended addGPSFactor flow runs
             # isam.update every keyframe; GPS corrections need no loop)
             gps_due = (self._gps_added > 0
                        and len(self.keyframes) % self.loop_every == 0)
-            if closed or gps_due:
-                if self._async is not None:
-                    self._async.submit(self.graph,
-                                       tag=len(self.keyframes))
-                else:
-                    self._optimize_and_correct()
+            closed = closed or gps_due
+        if closed or self._graph_dirty:
+            if self._async is not None:
+                # submit returns False while an optimization is in
+                # flight; remember and retry so a factor that lands
+                # mid-optimization still gets its GN pass
+                ok = self._async.submit(self.graph,
+                                        tag=len(self.keyframes))
+                self._graph_dirty = not ok
+            else:
+                self._optimize_and_correct()
+                self._graph_dirty = False
         out["n_keyframes"] = len(self.keyframes)
         out["n_loops"] = len(self.loop_pairs)
         return out
@@ -491,14 +557,17 @@ class SLAMPipeline:
             )
 
     # -- loop detection (detectLoopClosureDistance, :815-850) --------------
-    def _detect_candidate(self) -> int | None:
-        cur = self.keyframes[-1]
-        if len(self.keyframes) < 2:
+    def _detect_candidate(self, cur_idx: int | None = None) -> int | None:
+        if cur_idx is None:
+            cur_idx = len(self.keyframes) - 1
+        if cur_idx < 1:
             return None
-        ps = np.stack([k.pose[4:7] for k in self.keyframes[:-1]])
+        cur = self.keyframes[cur_idx]
+        prev = self.keyframes[:cur_idx]
+        ps = np.stack([k.pose[4:7] for k in prev])
         d = np.linalg.norm(ps - cur.pose[4:7], axis=1)
         ok = (d < self.cfg.loop.search_radius) & (
-            np.array([abs(k.t - cur.t) for k in self.keyframes[:-1]])
+            np.array([abs(k.t - cur.t) for k in prev])
             > self.cfg.loop.search_time_diff
         )
         if not ok.any():
@@ -525,7 +594,52 @@ class SLAMPipeline:
     # -- loop closure (performLoopClosure, :890-1018) ----------------------
     def _try_loop_closure(self) -> bool:
         with self._backend_ctx():
-            return self._try_loop_closure_impl()
+            res = self._loop_detect_verify(len(self.keyframes) - 1)
+        if res is None:
+            return False
+        self._apply_loop_factor(*res)
+        return True
+
+    def _loop_thread_main(self):
+        """Worker loop (loopClosureThread analog): one detection +
+        verification per queued request; None request = shutdown."""
+        while True:
+            cur_idx = self._loop_req.get()
+            if cur_idx is None:
+                return
+            try:
+                with self._backend_ctx():
+                    res = self._loop_detect_verify(cur_idx)
+            except Exception:  # a failed attempt must not kill the thread
+                res = None
+            self._loop_res.put(res)
+
+    def _apply_loop_factor(self, cand, cur_idx, rel_pose, sigma, fitness):
+        """Feed-thread-only graph mutation for a verified loop."""
+        with self._backend_ctx():
+            self.graph = pg.add_between(
+                self.graph, cand, cur_idx,
+                jnp.asarray(rel_pose, jnp.dtype(self.cfg.dtype)),
+                sigma, sigma,
+            )
+        self.loop_pairs.append((cand, cur_idx, fitness))
+
+    def _poll_loop_results(self) -> bool:
+        """Drain finished worker verifications; apply verified factors.
+        Returns True if any factor was added (optimization due)."""
+        import queue as _queue
+
+        applied = False
+        while self._loop_inflight > 0:
+            try:
+                res = self._loop_res.get_nowait()
+            except _queue.Empty:
+                break
+            self._loop_inflight -= 1
+            if res is not None:
+                self._apply_loop_factor(*res)
+                applied = True
+        return applied
 
     # static padding sizes for the loop-verification device calls: a
     # VARIABLE-length submap means a fresh jit compile per attempt
@@ -548,16 +662,24 @@ class SLAMPipeline:
         valid[:n] = True
         return buf, valid
 
-    def _try_loop_closure_impl(self) -> bool:
-        cand = self._detect_candidate()
+    def _loop_detect_verify(self, cur_idx: int):
+        """Detection + SC gate + ICP verification (NO graph mutation —
+        runs on the loop worker thread in async mode).  Returns
+        (cand, cur_idx, rel_pose (np, 7), sigma, fitness) or None."""
+        cand = self._detect_candidate(cur_idx)
         if cand is None:
-            return False
-        cur = self.keyframes[-1]
+            return None
+        cur = self.keyframes[cur_idx]
+        # pose SNAPSHOTS: a concurrent _apply_correction (feed thread)
+        # may swap kf.pose refs mid-verification; the submaps, rel_est
+        # and the returned factor must use one consistent pair
+        cur_pose = cur.pose.copy()
+        cand_pose = self.keyframes[cand].pose.copy()
         half = self.cfg.loop.search_num
         cur_local, cur_valid = self._pad_fix(
-            self._submap(cur.idx, 0, cur.pose), self._CUR_PAD)
+            self._submap(cur.idx, 0, cur_pose), self._CUR_PAD)
         old_local, old_valid = self._pad_fix(
-            self._submap(cand, half, self.keyframes[cand].pose),
+            self._submap(cand, half, cand_pose),
             self._OLD_PAD)
 
         # Scan Context gate on the two submaps (:932-943)
@@ -571,7 +693,7 @@ class SLAMPipeline:
         )
         dist, shift = sc.sc_distance(d1, d2)
         if float(dist) > self.sc_params.dist_thresh:
-            return False
+            return None
 
         # yaw pre-alignment from the SC shift (:954-962)
         yaw0 = -float(shift) * 2.0 * np.pi / self.sc_params.num_sector
@@ -583,9 +705,8 @@ class SLAMPipeline:
         # ICP verify: cur keyframe cloud vs old submap, in old-kf frame
         # via current relative estimate (:946-974)
         rel_est = se3.between(
-            jnp.asarray(self.keyframes[cand].pose,
-                        jnp.dtype(self.cfg.dtype)),
-            jnp.asarray(cur.pose, jnp.dtype(self.cfg.dtype)),
+            jnp.asarray(cand_pose, jnp.dtype(self.cfg.dtype)),
+            jnp.asarray(cur_pose, jnp.dtype(self.cfg.dtype)),
         )
         icp_dtype = jnp.dtype(self.cfg.dtype)
         res = icp_ops.icp_point2plane(
@@ -599,20 +720,12 @@ class SLAMPipeline:
             voxel=1.0,
         )
         if float(res.fitness) > self.cfg.loop.fitness_score:
-            return False
+            return None
 
         # loop factor: T_cand->cur from ICP (noise = fitness, :1010-1017)
         sigma = max(float(res.fitness), 1e-3)
-        self.graph = pg.add_between(
-            self.graph,
-            cand,
-            cur.idx,
-            res.pose.astype(jnp.dtype(self.cfg.dtype)),
-            sigma,
-            sigma,
-        )
-        self.loop_pairs.append((cand, cur.idx, float(res.fitness)))
-        return True
+        return (cand, cur.idx, np.asarray(res.pose, np.float64), sigma,
+                float(res.fitness))
 
     # -- optimize + correct (saveKeyFramesAndFactor/correctPoses) ----------
     def _optimize_and_correct(self):
@@ -637,20 +750,22 @@ class SLAMPipeline:
         delta = se3.compose(new_last, se3.inverse(old_last))
         for k in range(n):
             self.keyframes[k].pose = poses[k]
-        for kf in self.keyframes[n:]:
-            kf.pose = np.asarray(
-                se3.compose(delta, jnp.asarray(kf.pose)), np.float64
-            )
-        for k in range(n, len(self.keyframes)):
-            self.graph = pg.set_pose(
-                self.graph, k,
-                jnp.asarray(self.keyframes[k].pose, jnp.dtype(self.cfg.dtype)),
-            )
-        # refresh optimized poses into the graph values for nodes [0, n)
-        for k in range(n):
-            self.graph = pg.set_pose(
-                self.graph, k, jnp.asarray(poses[k], jnp.dtype(self.cfg.dtype))
-            )
+        if len(self.keyframes) > n:
+            # batched shift of the post-snapshot keyframes (se3 ops
+            # broadcast over leading dims)
+            tail = np.stack([kf.pose for kf in self.keyframes[n:]])
+            shifted = np.asarray(
+                se3.compose(delta, jnp.asarray(tail)), np.float64)
+            for i, kf in enumerate(self.keyframes[n:]):
+                kf.pose = shifted[i]
+        # write ALL current poses back into the graph in ONE masked
+        # update (was one set_pose dispatch per keyframe — O(n) tiny
+        # device calls on every async harvest)
+        allp = np.stack([kf.pose for kf in self.keyframes])
+        with self._backend_ctx():
+            self.graph = pg.set_poses(
+                self.graph, jnp.asarray(allp, jnp.dtype(self.cfg.dtype)),
+                len(self.keyframes))
         # live filter pose: apply the same drift correction
         ls = self.lio.ls
         if ls is None:  # front end not initialised (offline correction)
