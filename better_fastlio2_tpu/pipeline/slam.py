@@ -274,10 +274,11 @@ class SLAMPipeline:
         if not g.use_elevation:
             pos[2] = kf.pose[6]  # keep the odometry height (LIO-SAM)
         sigma = float(np.sqrt(cov)) if cov > 0 else g.sigma
-        self.graph = pg.add_gps(
-            self.graph, kf.idx,
-            jnp.asarray(pos, jnp.dtype(self.cfg.dtype)), sigma,
-        )
+        with self._backend_ctx():
+            self.graph = pg.add_gps(
+                self.graph, kf.idx,
+                jnp.asarray(pos, jnp.dtype(self.cfg.dtype)), sigma,
+            )
         self._gps_added += 1
         self._last_gps_pos = pos_g
 
@@ -542,19 +543,25 @@ class SLAMPipeline:
                       desc=desc)
         self.keyframes.append(kf)
         dtype = jnp.dtype(self.cfg.dtype)
-        pose_j = jnp.asarray(pose7, dtype)
-        self.graph = pg.set_pose(self.graph, k, pose_j)
-        if k == 0:
-            # prior noise 1e-12 (laserMapping.cpp:556)
-            self.graph = pg.add_prior(self.graph, 0, pose_j, 1e-6, 1e-6)
-        else:
-            prev = jnp.asarray(self.keyframes[-2].odom_pose, dtype)
-            cur = jnp.asarray(self.keyframes[-1].odom_pose, dtype)
-            rel = se3.between(prev, cur)
-            # between noise: rot 1e-6 var, trans 1e-4 var (:569)
-            self.graph = pg.add_between(
-                self.graph, k - 1, k, rel, 1e-2, 1e-3
-            )
+        # graph mutations under the backend device scope: the graph is
+        # committed to the host device, so operands created here must be
+        # host-resident too — a default-device jnp.asarray would place
+        # them on the (remote) accelerator and every factor add would
+        # pay a synchronous cross-device transfer
+        with self._backend_ctx():
+            pose_j = jnp.asarray(pose7, dtype)
+            self.graph = pg.set_pose(self.graph, k, pose_j)
+            if k == 0:
+                # prior noise 1e-12 (laserMapping.cpp:556)
+                self.graph = pg.add_prior(self.graph, 0, pose_j, 1e-6, 1e-6)
+            else:
+                prev = jnp.asarray(self.keyframes[-2].odom_pose, dtype)
+                cur = jnp.asarray(self.keyframes[-1].odom_pose, dtype)
+                rel = se3.between(prev, cur)
+                # between noise: rot 1e-6 var, trans 1e-4 var (:569)
+                self.graph = pg.add_between(
+                    self.graph, k - 1, k, rel, 1e-2, 1e-3
+                )
 
     # -- loop detection (detectLoopClosureDistance, :815-850) --------------
     def _detect_candidate(self, cur_idx: int | None = None) -> int | None:
@@ -745,19 +752,20 @@ class SLAMPipeline:
                 len(self.keyframes))
         if n == 0:
             return
-        old_last = jnp.asarray(self.keyframes[n - 1].pose)
-        new_last = jnp.asarray(poses[n - 1])
-        delta = se3.compose(new_last, se3.inverse(old_last))
-        for k in range(n):
-            self.keyframes[k].pose = poses[k]
-        if len(self.keyframes) > n:
-            # batched shift of the post-snapshot keyframes (se3 ops
-            # broadcast over leading dims)
-            tail = np.stack([kf.pose for kf in self.keyframes[n:]])
-            shifted = np.asarray(
-                se3.compose(delta, jnp.asarray(tail)), np.float64)
-            for i, kf in enumerate(self.keyframes[n:]):
-                kf.pose = shifted[i]
+        with self._backend_ctx():  # host-resident small-op math
+            old_last = jnp.asarray(self.keyframes[n - 1].pose)
+            new_last = jnp.asarray(poses[n - 1])
+            delta = se3.compose(new_last, se3.inverse(old_last))
+            for k in range(n):
+                self.keyframes[k].pose = poses[k]
+            if len(self.keyframes) > n:
+                # batched shift of the post-snapshot keyframes (se3 ops
+                # broadcast over leading dims)
+                tail = np.stack([kf.pose for kf in self.keyframes[n:]])
+                shifted = np.asarray(
+                    se3.compose(delta, jnp.asarray(tail)), np.float64)
+                for i, kf in enumerate(self.keyframes[n:]):
+                    kf.pose = shifted[i]
         # write ALL current poses back into the graph in ONE masked
         # update (was one set_pose dispatch per keyframe — O(n) tiny
         # device calls on every async harvest)
