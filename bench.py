@@ -232,6 +232,8 @@ def main():
     # to <= 2x the C++ baseline's end error.  The room workload keeps
     # the advertised 16k KITTI-class point count.
     n_ds = 3 * (1 << 12) if workload == "outdoor" else (1 << 14)
+    if "--nds" in sys.argv:  # probe override (association ~0.16 ms/1k lanes)
+        n_ds = int(sys.argv[sys.argv.index("--nds") + 1])
     cfg.shapes = ShapesConfig(
         n_raw=1 << 15,
         n_ds=n_ds,
