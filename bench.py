@@ -34,10 +34,13 @@ import time
 import numpy as np
 
 # measured CPU reference-equivalent, all cores (tools/bench_cpu_ref.py),
-# per workload (--workload room|outdoor; outdoor measured 2026-08-21:
-# 38.40 scans/s @2 threads, end err 0.013 m — the clutter points FAIL
-# the plane gates early and make the C++ update cheaper than the room's)
-BASELINE_BY_WORKLOAD = {"room": 21.62, "outdoor": 38.40}
+# per workload (--workload room|outdoor).  outdoor re-measured
+# 2026-08-22 on the contract-fixed 400-scan sequence (the original
+# sequence ran off the world's edge and decayed 29k -> 10k returns/scan
+# — io/synthetic.make_bench_sequence docstring): 35.09 scans/s
+# @2 threads, end err 0.068 m.  The clutter points FAIL the plane gates
+# early and still make the C++ update cheaper than the room's.
+BASELINE_BY_WORKLOAD = {"room": 21.62, "outdoor": 35.09}
 BASELINE_SCANS_PER_SEC = 21.62
 
 # The remote-TPU tunnel occasionally wedges a fresh process at claim
@@ -224,16 +227,25 @@ def main():
     # Reference-KITTI workload (launch/mapping_velodyne64_kitti_dataset
     # .launch: point_filter_num=4 -> ~30k raw points reach the filter,
     # filter_size_surf=0.5, filter_size_map=0.5; max_iteration=4)
-    # outdoor matched-point budget: the hostile scene yields ~20k
+    # outdoor matched-point budget: the hostile scene yields ~20k+
     # occupied 0.5 m voxels/scan (already above any budget — n_ds is a
-    # subsample either way); 12k matched points trade ~0.6 ms/scan of
-    # association (it scales ~0.16 ms/1k lanes, tools/probe_assoc.py)
-    # against estimator noise that the accuracy gate below still bounds
-    # to <= 2x the C++ baseline's end error.  The room workload keeps
-    # the advertised 16k KITTI-class point count.
-    n_ds = 3 * (1 << 12) if workload == "outdoor" else (1 << 14)
+    # subsample either way); 10k matched points trade ~1 ms/scan of
+    # association (it scales ~0.16 ms/1k lanes, tools/probe_assoc.py;
+    # measured A/B tools/probe_outdoor_cfg.py: 10240 beats both 12288
+    # and 8192 — below 10k the n_ds-independent costs dominate and the
+    # wall stops improving) against estimator noise that the accuracy
+    # gate below still bounds to <= 2x the C++ baseline's end error.
+    # The room workload keeps the advertised 16k KITTI-class count.
+    n_ds = 10240 if workload == "outdoor" else (1 << 14)
     if "--nds" in sys.argv:  # probe override (association ~0.16 ms/1k lanes)
         n_ds = int(sys.argv[sys.argv.index("--nds") + 1])
+    # probe override for the valid-lane solve budget: the compaction only
+    # engages when live lanes <= budget, so the budget must clear the
+    # workload's hit rate x n_ds (outdoor ~0.75-0.77) or every scan falls
+    # back to the full-width kernel
+    solve_compact = (4 * n_ds) // 5 if workload == "outdoor" else 0
+    if "--solve-compact" in sys.argv:
+        solve_compact = int(sys.argv[sys.argv.index("--solve-compact") + 1])
     cfg.shapes = ShapesConfig(
         n_raw=1 << 15,
         n_ds=n_ds,
@@ -263,7 +275,7 @@ def main():
         # fused solve compacts to the live lanes; room's 0.95 hit rate
         # would overflow the budget every scan (permanent fallback), so
         # it stays off there
-        solve_compact=(3 * n_ds) // 4 if workload == "outdoor" else 0,
+        solve_compact=solve_compact,
         # overflow preference when occupied voxels exceed n_ds (~20k
         # outdoors): shed canopy tops, keep the ground — measured
         # +hit-rate outdoors, measured -hit-rate on the room (whose
@@ -296,17 +308,26 @@ def main():
                                 # recompute an identical system
                                 early_converge=True)
 
-    n_scans = 240  # the 60 m room bounds the run: at 3 m/s the
+    # room: the 60 m room bounds the run at 240 scans (at 3 m/s the
     # trajectory exits the world past ~26 s and the accuracy gate
-    # rightly fires
-    # W=8 is the official operating point (r3 verdict): W=16 raises the
-    # best-case wall throughput ~10% by halving readbacks, but on the
-    # bounded 240-scan run it halves the timed-window count to 10 (the
-    # minimum credible sample) and widens tunnel-variance exposure —
-    # the r3 capture regressed to 4.34x that way.  W=8 yields 25 timed
-    # windows and captured 5.9x in the same round-3 queue.  --window N
-    # overrides for interactive probes.
-    window = 8
+    # rightly fires); W=8 is its official operating point (r3 verdict):
+    # W=16 raises best-case wall ~4-10% by halving per-window fixed
+    # cost, but on a 240-scan run it halves the timed-window count to
+    # 10 (below the >= 20 health-gate minimum) and widens
+    # tunnel-variance exposure — the r3 capture regressed to 4.34x that
+    # way.  outdoor: the contract-fixed workload scales its world with
+    # n_scans (io/synthetic.make_bench_sequence), so the run is no
+    # longer world-bounded — 400 scans at W=16 keeps 20 timed windows
+    # (the gate minimum) while amortising the per-window dispatch the
+    # 240-scan cap forced W=8 to pay; the C++ denominator is
+    # re-measured on the same 400-scan sequence (BASELINE.md).
+    # --window/--n-scans override for interactive probes.
+    if workload == "outdoor" and not slam:
+        n_scans, window = 400, 16
+    else:
+        n_scans, window = 240, 8
+    if "--n-scans" in sys.argv:
+        n_scans = int(sys.argv[sys.argv.index("--n-scans") + 1])
     if "--window" in sys.argv:
         window = int(sys.argv[sys.argv.index("--window") + 1])
     if slam:
@@ -361,8 +382,11 @@ def main():
             lio_kwargs=dict(window=window, quantized=True, unroll=window))
         lio = pipe.lio
     else:
+        # unroll caps at 8: the W=16 program at full unroll compiles 2x
+        # larger for no measured wall gain (the scan-loop overhead the
+        # unroll removes is ~0.5 ms/scan at unroll>=8)
         pipe = LIOPipeline(cfg, pipelined=True, window=window,
-                           quantized=True, unroll=window)
+                           quantized=True, unroll=min(window, 8))
         lio = pipe
     # warmup covers IMU init, map growth, and the jit compiles of BOTH
     # window programs (the 5-NN warmup variant fires first, the
@@ -410,8 +434,8 @@ def main():
     end_err_m = float(err[-1])
     # gate at 2x the C++ reference-equivalent's end error on the SAME
     # workload (tools/bench_cpu_ref.py --workload ...; outdoor measured
-    # 0.013 m — gate kept a touch looser for clutter-seed variance)
-    BASELINE_END_ERR = {"room": 0.015, "outdoor": 0.026}
+    # 0.068 m on the 400-scan contract-fixed sequence, 2026-08-22)
+    BASELINE_END_ERR = {"room": 0.015, "outdoor": 0.068}
     BASELINE_END_ERR_M = BASELINE_END_ERR.get(workload, 0.05)
     slam_extra = {}
     if slam:
