@@ -18,7 +18,7 @@ i.e. 40 scans/s.
 
 Prints ONE JSON line:
   {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
-   "vs_baseline": N/21.62, "device_ms_per_scan": M, ...}
+   "vs_baseline": N/<per-workload C++ baseline>, "device_ms_per_scan": M, ...}
 device_ms_per_scan re-times the steady window chained on-device (no
 input transfer), separating compute from the remote transport.
 """
