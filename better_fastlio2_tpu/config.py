@@ -258,14 +258,28 @@ class LIOConfig:
     #                  positives; two-tier removal (whole strongly-fresh
     #                  cluster / only fresh points of moderately-fresh
     #                  ones) holds precision.  Measured on the labelled
-    #                  10 Hz synthetic-outdoor run: P 0.90 / R 0.53 /
-    #                  F1 0.67 vs 0.3 for single-gap overlap (ROUND5.md).
+    #                  10 Hz synthetic-outdoor run: P 0.907 / R 0.502 /
+    #                  F1 0.647 vs 0.3 for single-gap overlap (ROUND5.md;
+    #                  thresholds from the tools/tune_dynamic.py sweep).
     dyn_track_mode: str = "overlap"
     dyn_track_gap: int = 1  # overlap mode: track vs the grid N scans back
     dyn_track_k: int = 24  # appearance mode: history depth (frames)
     dyn_appear_voxel: float = 0.45  # appearance mode: world voxel (m)
     dyn_appear_range: float = 28.0  # appearance mode: range gate (m)
     dyn_appear_z_band: float = 1.0  # appearance mode: sensor-frame z cap
+    # appearance-mode decision thresholds (perception.dynamic.
+    # appearance_dynamic_mask): a cluster with occupied-fraction <
+    # thr_strong is removed whole; < thr_weak sheds only its
+    # occupancy-negative points (0.0 disables the weak tier); clusters
+    # need >= min_cnt scored points covering >= min_scored_frac of the
+    # cluster to be judged at all.  Defaults from the dump-replay sweep
+    # on the labelled 10 Hz synthetic-outdoor run (tools/tune_dynamic.py,
+    # round 5): the weak tier contributed false positives without recall
+    # (P 0.869 -> 0.906 off, F1 0.637 -> 0.646), so it is off by default.
+    dyn_appear_thr_strong: float = 0.6
+    dyn_appear_thr_weak: float = 0.0
+    dyn_appear_min_cnt: int = 4
+    dyn_appear_min_scored_frac: float = 0.6
     # camera colorization block (reference yaml `camera:` —
     # config/mulran.yaml; paramSetting laserMapping.cpp:279-290): raw
     # dict with camera_internal / camera_external / camera_en, consumed

@@ -295,9 +295,12 @@ def dynamic_removal_masks(
 # well-sampled radius — newly-entered terrain at the range frontier is
 # "fresh" without being dynamic), and a two-tier decision (a strongly
 # fresh cluster is removed whole; a moderately fresh one sheds only its
-# individually-fresh points).  Tuned against ground truth offline:
-# P 0.90 / R 0.53 / F1 0.67 at 10 Hz on the moving-sensor run (vs 0.3
-# for single-gap overlap — ROUND5.md).
+# individually-fresh points).  The round-5 dump-replay sweep
+# (tools/tune_dynamic.py) found the weak tier contributes false
+# positives without recall at the 10 Hz operating point, so the config
+# default disables it (dyn_appear_thr_weak=0.0); full-pipeline
+# confirmation on the labelled moving-sensor run: P 0.907 / R 0.502 /
+# F1 0.647 (vs 0.3 for single-gap overlap — ROUND5.md).
 
 _NB27 = None
 

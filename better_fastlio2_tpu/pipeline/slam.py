@@ -23,6 +23,7 @@ jitted; bookkeeping (keyframe clouds, timestamps) lives on the host.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
@@ -471,6 +472,7 @@ class SLAMPipeline:
 
                 self._app_hist = hist = deque(maxlen=K)
                 self._app_sens = deque(maxlen=K + 1)
+                self._app_n = 0  # branch-call counter (= scan index)
             self._app_sens.append(cur_np[4:7].copy())
             dynmask = np.zeros(len(pts), bool)
             if len(hist) >= K:
@@ -483,8 +485,29 @@ class SLAMPipeline:
                     & (np.linalg.norm(pts_w - sens_old, axis=1) <= r_max))
                 scored = band & (lab_pt >= 0) & rng_ok
                 dynmask = dyn.appearance_dynamic_mask(
-                    keys, scored, band, lab_pt, old_sorted)
+                    keys, scored, band, lab_pt, old_sorted,
+                    thr_strong=float(getattr(
+                        self.cfg, "dyn_appear_thr_strong", 0.55)),
+                    thr_weak=float(getattr(
+                        self.cfg, "dyn_appear_thr_weak", 0.9)),
+                    min_cnt=int(getattr(
+                        self.cfg, "dyn_appear_min_cnt", 4)),
+                    min_scored_frac=float(getattr(
+                        self.cfg, "dyn_appear_min_scored_frac", 0.6)))
+                # threshold-tuning dump: per-scan decision inputs, so a
+                # sweep over (thr_strong, thr_weak, ...) replays offline
+                # without re-running the pipeline (tools/tune_dynamic.py)
+                dump_dir = os.environ.get("LIO_DYN_TUNE_DUMP")
+                if dump_dir:
+                    os.makedirs(dump_dir, exist_ok=True)
+                    np.savez_compressed(
+                        os.path.join(
+                            dump_dir,
+                            f"scan_{self._app_n:05d}.npz"),
+                        keys=keys, scored=scored, band=band,
+                        lab_pt=lab_pt, old_sorted=old_sorted)
             hist.append(np.unique(keys[band & (lab_pt >= 0)]))
+            self._app_n += 1
             keep = np.asarray(valid) & ~dynmask
         else:
             hist = getattr(self, "_grid_hist", None)
@@ -506,8 +529,6 @@ class SLAMPipeline:
         # per-scan cluster-colored cloud + the removed (dynamic) points
         dump = getattr(self, "dynamic_dump_dir", None)
         if dump:
-            import os
-
             from ..io.pcd import write_pcd
 
             os.makedirs(dump, exist_ok=True)
