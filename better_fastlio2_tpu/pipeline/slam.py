@@ -480,9 +480,9 @@ class SLAMPipeline:
                     [hist[-k] for k in range(old_lo, K + 1)]))
                 sens_now = cur_np[4:7]
                 sens_old = self._app_sens[0]
-                rng_ok = (
-                    (np.linalg.norm(pts_w - sens_now, axis=1) <= r_max)
-                    & (np.linalg.norm(pts_w - sens_old, axis=1) <= r_max))
+                d_now = np.linalg.norm(pts_w - sens_now, axis=1)
+                d_old = np.linalg.norm(pts_w - sens_old, axis=1)
+                rng_ok = (d_now <= r_max) & (d_old <= r_max)
                 scored = band & (lab_pt >= 0) & rng_ok
                 dynmask = dyn.appearance_dynamic_mask(
                     keys, scored, band, lab_pt, old_sorted,
@@ -505,7 +505,9 @@ class SLAMPipeline:
                             dump_dir,
                             f"scan_{self._app_n:05d}.npz"),
                         keys=keys, scored=scored, band=band,
-                        lab_pt=lab_pt, old_sorted=old_sorted)
+                        lab_pt=lab_pt, old_sorted=old_sorted,
+                        d_now=d_now.astype(np.float32),
+                        d_old=d_old.astype(np.float32))
             hist.append(np.unique(keys[band & (lab_pt >= 0)]))
             self._app_n += 1
             keep = np.asarray(valid) & ~dynmask

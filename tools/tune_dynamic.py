@@ -50,12 +50,31 @@ def main(dump_dir: str):
         gi = int(re.search(r"scan_(\d+)\.npz$", f).group(1))
         d = np.load(f)
         scans.append((gi, d["keys"], d["scored"], d["band"], d["lab_pt"],
-                      d["old_sorted"], groups[gi]["gt_dynamic"]))
+                      d["old_sorted"], groups[gi]["gt_dynamic"],
+                      d["d_now"] if "d_now" in d else None,
+                      d["d_old"] if "d_old" in d else None))
     print(f"# {len(scans)} dumped scans, groups {scans[0][0]}..{scans[-1][0]}")
 
-    def score(ts, tw, mc, msf):
+    # recall-ceiling diagnosis: where do the GT-positive misses live?
+    if scans[0][7] is not None:
+        tot = in_band = clustered = 0
+        r_hist = []
+        for _, _, _, band, lab, _, gt, dn, _ in scans:
+            tot += int(gt.sum())
+            in_band += int((gt & band).sum())
+            clustered += int((gt & band & (lab >= 0)).sum())
+            r_hist.append(dn[gt & band & (lab >= 0)])
+        r_all = np.concatenate(r_hist)
+        print(f"# gt+ points {tot}; in z-band {in_band/tot:.2f}; "
+              f"clustered {clustered/tot:.2f}; of those, within 28 m of "
+              f"the sensor: {float((r_all <= 28).mean()):.2f} "
+              f"(achievable-recall cap at the default gate)")
+
+    def score(ts, tw, mc, msf, r=None):
         tp = fp = fn = 0
-        for _, keys, scored, band, lab_pt, old_sorted, gt in scans:
+        for _, keys, scored, band, lab_pt, old_sorted, gt, dn, do_ in scans:
+            if r is not None and dn is not None:
+                scored = band & (lab_pt >= 0) & (dn <= r) & (do_ <= r)
             pred = dyn.appearance_dynamic_mask(
                 keys, scored, band, lab_pt, old_sorted,
                 thr_strong=ts, thr_weak=tw, min_cnt=mc,
@@ -68,8 +87,12 @@ def main(dump_dir: str):
         f1 = 2 * pr * rr / max(pr + rr, 1e-12)
         return pr, rr, f1
 
-    base = score(0.55, 0.9, 4, 0.6)
-    print(f"# replayed current defaults: P {base[0]:.3f} R {base[1]:.3f} "
+    from better_fastlio2_tpu.config import LIOConfig
+
+    _c = LIOConfig()
+    base = score(_c.dyn_appear_thr_strong, _c.dyn_appear_thr_weak,
+                 _c.dyn_appear_min_cnt, _c.dyn_appear_min_scored_frac)
+    print(f"# replayed config defaults: P {base[0]:.3f} R {base[1]:.3f} "
           f"F1 {base[2]:.3f}")
 
     rows = []
@@ -93,6 +116,17 @@ def main(dump_dir: str):
     print("# top-10 by F1 with precision >= 0.9:")
     for r in hi_p[:10]:
         print(json.dumps(r))
+
+    # range-gate sweep (needs d_now/d_old in the dumps): precision
+    # collapses as the gate opens past ~28 m — the old frames'
+    # occupancy is too sparse out there to distinguish "mover was not
+    # here" from "never sampled" (ROUND5.md round-5 addendum)
+    if scans[0][7] is not None:
+        print("# dual range-gate sweep (thr_strong=0.6, weak off, msf=0.6):")
+        for r in (28.0, 30.0, 32.0, 36.0, 40.0):
+            pr, rr, f1 = score(0.6, 0.0, 4, 0.6, r=r)
+            print(json.dumps({"r_max": r, "precision": round(pr, 4),
+                              "recall": round(rr, 4), "f1": round(f1, 4)}))
 
 
 if __name__ == "__main__":
