@@ -935,6 +935,10 @@ class LIOPipeline:
             jnp.asarray(self.acc_norm, self.dtype),
         )
         if self.pipelined:
+            try:  # overlap the result's host copy with the next scan
+                info_vec.copy_to_host_async()
+            except AttributeError:
+                pass
             prev, self._pending_info = self._pending_info, info_vec
             if prev is None:
                 return None
@@ -1052,6 +1056,15 @@ class LIOPipeline:
         self.ls, infos = wstep(
             self.ls, win, jnp.asarray(self.acc_norm, self.dtype)
         )
+        # start the (tiny, W x 29 f32) result's host copy NOW: the
+        # remote transport's ~24 ms round trip then overlaps the next
+        # scan's host-side packing + H2D instead of being paid
+        # synchronously inside poll()/_consume_pending — the W=1 online
+        # path otherwise serializes a full round trip per scan
+        try:
+            infos.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending_ws.append((infos, n_valid))
         if not self.pipelined:
             self._consume_pending(self._pending_ws)

@@ -79,8 +79,11 @@ def main():
         durs = np.diff(np.array(marks))
         return W / float(np.median(durs))
 
+    ws = (1, 2, 4, 8, 16)
+    if "--only-w" in sys.argv:  # e.g. `--only-w 1` for a quick W=1 row
+        ws = (int(sys.argv[sys.argv.index("--only-w") + 1]),)
     prev_thpt = None
-    for W in (1, 2, 4, 8, 16):
+    for W in ws:
         # ---- throughput mode (unthrottled) ------------------------------
         # neighbor-consistency retry: throughput is roughly monotone in
         # W; a row grossly below its smaller-window neighbor means the
